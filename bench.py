@@ -1,0 +1,88 @@
+"""Benchmark: IWAE-ELBO training steps/sec on dr_constant_icml.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Regime matches the reference default training loop (n_batch=36, K=200 IWAE
+samples, midpoint solver on the 86-point grid — reference vihds/run_xval.py:
+27-35, vihds/config.py:59-84): each step is forward + IWAE bound + gradient +
+Adam update.
+
+The baseline denominator is the reference PyTorch implementation measured on
+this machine's CPU at the identical regime (see BASELINE.md "Measured" —
+steps/sec over full epochs, python bench_reference.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("INFERENCE_RESULTS_DIR", "/tmp/vihds_tpu_results")
+
+# Reference (microsoft/vi-hds, torch CPU, solver=midpoint, B=36, K=200):
+# measured on this machine — see BASELINE.md and bench_reference.py.
+REFERENCE_CPU_STEPS_PER_SEC = 0.0920
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+    from vihds_tpu.training import Training
+
+    n_batch, n_samples = 36, 200
+    args, settings, data, program, model = _build(train_samples=n_samples)
+    args.epochs = 1
+    args.test_epoch = 10**9
+    settings.trainer = None
+    training = Training(args, settings, data, program, model)
+
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    opt_state = training.tx.init(params)
+    host = training.train_data
+    idx = np.arange(n_batch)
+    from vihds_tpu.utils.attrdict import AttrDict
+
+    batch = AttrDict(
+        observations=jnp.asarray(host.observations[idx]),
+        inputs=jnp.asarray(host.inputs[idx]),
+        dev_1hot=jnp.asarray(host.dev_1hot[idx]),
+        times=jnp.asarray(host.times),
+    )
+    mask = jnp.ones((n_batch,), jnp.float32)
+
+    step = training._train_step
+    # Warmup / compile
+    params2, opt_state2, elbo = step(params, opt_state, batch, mask, key)
+    jax.block_until_ready(elbo)
+    assert np.isfinite(float(elbo)), "warmup ELBO not finite"
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    p, o = params2, opt_state2
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        p, o, elbo = step(p, o, batch, mask, sub)
+    jax.block_until_ready(elbo)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    vs = steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC if REFERENCE_CPU_STEPS_PER_SEC else None
+    print(
+        json.dumps(
+            {
+                "metric": "elbo_steps_per_sec_dr_constant_icml_B36_K200",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

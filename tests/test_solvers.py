@@ -1,0 +1,76 @@
+"""Cross-solver numerical consistency on a real model/theta draw
+(model: reference tests/test_ode_solvers.py — max CV of final states < 5%)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import make_args, spec
+from vihds_tpu.config import Config
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.ops.solvers import integrate
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import batch_arrays
+from vihds_tpu.vae import VAE
+
+SOLVERS = ["modeuler", "modeulerwhile", "midpoint", "rk4", "dopri5", "dopri8"]
+
+
+def _setup():
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = batch_arrays(data.train.dataset.select(np.arange(4)))
+    # Draw a real theta from the (untrained) encoder, as the reference does
+    q = model.encoder(params["enc"], batch)
+    u = model.sample_u(jax.random.PRNGKey(1), 4, 3)
+    theta = program.clip(program.sample(q, u), stddevs=4)
+    th = program.theta_dict(theta)
+    ode = model.ode_model
+    y0 = ode.initialize_state(params["dec"], th, batch.inputs, 4, 3)
+    rhs = ode.make_rhs(params["dec"], th, batch.inputs, batch.dev_1hot)
+    return rhs, y0, batch.times
+
+
+def test_cross_solver_consistency():
+    rhs, y0, times = _setup()
+    finals = []
+    for method in SOLVERS:
+        sol = integrate(rhs, y0, times, method=method)
+        final = np.asarray(sol[-1])
+        assert np.isfinite(final).all(), "solver %s produced non-finite states" % method
+        finals.append(final)
+    finals = np.stack(finals)  # [n_solvers, B, K, S]
+    mu = finals.mean(0)
+    sd = finals.std(0)
+    cv = sd / np.maximum(np.abs(mu), 1e-6)
+    max_cv = cv.max()
+    # reference asserts < 5% across its solver set (tests/test_ode_solvers.py:87-89)
+    assert max_cv < 0.05, "max coefficient of variation %.4f >= 5%%" % max_cv
+
+
+def test_adjoint_matches_direct_gradient():
+    rhs, y0, times = _setup()
+
+    def loss_direct(y0):
+        return jnp.sum(integrate(rhs, y0, times, method="rk4")[-1])
+
+    def loss_adjoint(y0):
+        return jnp.sum(integrate(rhs, y0, times, method="rk4", adjoint=True)[-1])
+
+    g1 = np.asarray(jax.grad(loss_direct)(y0))
+    g2 = np.asarray(jax.grad(loss_adjoint)(y0))
+    # continuous-adjoint vs discretise-then-differentiate agree up to the
+    # discretisation error of the backward re-integration
+    np.testing.assert_allclose(g1, g2, rtol=5e-2, atol=1e-3)
+
+
+def test_checkpointed_scan_matches():
+    rhs, y0, times = _setup()
+    a = np.asarray(integrate(rhs, y0, times, method="midpoint"))
+    b = np.asarray(integrate(rhs, y0, times, method="midpoint", checkpoint=True))
+    np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -1,0 +1,104 @@
+"""O(1)-trajectory-memory differentiation via the continuous adjoint ODE.
+
+Capability parity with torchdiffeq.odeint_adjoint (reference vihds/ode.py:80):
+the backward pass re-integrates the augmented system (y, a, c_bar) between
+observation times instead of storing solver internals.  Grid states are kept
+(they are the model's observed output anyway) and used to re-anchor y at every
+interval, so the backward y never drifts far from the forward solution.
+
+``jax.closure_convert`` hoists the theta/NN constants out of the RHS closure so
+the custom VJP propagates gradients to them — closures over traced values
+cannot be differentiated through a custom_vjp otherwise.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vihds_tpu.ops import solvers as _solvers
+
+
+def integrate_adjoint(rhs, y0, times, method="midpoint", n_sub=4):
+    """Like integrate_fixed but with adjoint-based reverse-mode."""
+    rhs_conv, consts = jax.closure_convert(lambda t, y: rhs(t, y), times[0], y0)
+    return _adjoint_call(rhs_conv, method, n_sub, y0, times, *consts)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _adjoint_call(rhs_conv, method, n_sub, y0, times, *consts):
+    def rhs(t, y):
+        return rhs_conv(t, y, *consts)
+
+    return _solvers.integrate_fixed(rhs, y0, times, method=method)
+
+
+def _adjoint_fwd(rhs_conv, method, n_sub, y0, times, *consts):
+    ys = _adjoint_call(rhs_conv, method, n_sub, y0, times, *consts)
+    return ys, (ys, times, consts)
+
+
+def _adjoint_bwd(rhs_conv, method, n_sub, res, g):
+    ys, times, consts = res
+
+    def aug_rhs(t, s):
+        y, a, _ = s
+        f, vjp_fn = jax.vjp(lambda y_, c_: rhs_conv(t, y_, *c_), y, consts)
+        a_y, a_c = vjp_fn(a)
+        # backward-in-time signs fold into the negative step size below
+        return (f, _neg(a_y), _neg(a_c))
+
+    def rk4_sub(s, t1, t0):
+        """n_sub RK4 steps from t1 down to t0 on the augmented state."""
+        h = (t0 - t1) / n_sub  # negative
+
+        def one(i, s):
+            t = t1 + i * h
+            k1 = aug_rhs(t, s)
+            k2 = aug_rhs(t + 0.5 * h, _axpy(s, 0.5 * h, k1))
+            k3 = aug_rhs(t + 0.5 * h, _axpy(s, 0.5 * h, k2))
+            k4 = aug_rhs(t + h, _axpy(s, h, k3))
+            incr = jax.tree_util.tree_map(
+                lambda a_, b_, c_, d_: (a_ + 2 * b_ + 2 * c_ + d_) / 6.0, k1, k2, k3, k4
+            )
+            return _axpy(s, h, incr)
+
+        return lax.fori_loop(0, n_sub, one, s)
+
+    T = ys.shape[0]
+    a0 = g[T - 1]
+    cbar0 = jax.tree_util.tree_map(jnp.zeros_like, consts)
+
+    def interval(carry, inp):
+        a, cbar = carry
+        y_i, t_i, t_im1, g_im1 = inp
+        s = (y_i, a, cbar)
+        y_b, a_b, cbar_b = rk4_sub(s, t_i, t_im1)
+        a_b = a_b + g_im1
+        return (a_b, cbar_b), None
+
+    xs = (ys[1:][::-1], times[1:][::-1], times[:-1][::-1], g[:-1][::-1])
+    (a_fin, cbar_fin), _ = lax.scan(interval, (a0, cbar0), xs)
+    # No gradient w.r.t. the time grid
+    return (a_fin, jnp.zeros_like(times)) + tuple(cbar_fin)
+
+
+def _neg(x):
+    return jax.tree_util.tree_map(lambda v: -v, x)
+
+
+def _axpy(s, h, ds):
+    # note: da/dt and dc/dt carry a built-in negation from aug_rhs; stepping
+    # with negative h then integrates the textbook adjoint system forwards in
+    # negative time for y and backwards for (a, cbar).
+    y, a, c = s
+    dy, da, dc = ds
+    return (
+        y + h * dy,
+        jax.tree_util.tree_map(lambda u, v: u + h * v, a, da),
+        jax.tree_util.tree_map(lambda u, v: u + h * v, c, dc),
+    )
+
+
+_adjoint_call.defvjp(_adjoint_fwd, _adjoint_bwd)

@@ -1,0 +1,243 @@
+"""The compiled parameter program: vectorised sample / log_prob / clip.
+
+Everything the reference does dynamically per forward pass
+(reference vihds/distributions.py: ChainedDistribution.sample 119-142,
+log_prob 64-74, clip 76-85; TfNormal 266-365; TfLogNormal 368-381) is done here
+as a handful of fused elementwise ops over ``theta[B, K, n_theta]`` driven by
+static per-site masks compiled once from the spec.
+
+Distribution semantics are kept bit-faithful to the reference where it is
+correct; the two distributions the reference leaves unimplemented
+(TruncatedNormal, Kumaraswamy — reference vihds/distributions.py:442-446,
+498-507) are implemented for real here (exact erf/ndtri, proper sigma
+standardisation of the truncation bounds).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.special import ndtri
+from jax.scipy.stats import norm as jnorm
+
+from vihds_tpu.prob import sites as S
+from vihds_tpu.utils.attrdict import AttrDict
+
+LOG2PI = float(np.log(2.0 * np.pi))
+EPS = 1e-12
+
+
+def _toposort(ordered_sites):
+    """Dependency-respecting site order (parity: the sample-time topological
+    sort at reference vihds/distributions.py:94-117, done once at build)."""
+    name_to_idx = {s.name: i for i, s in enumerate(ordered_sites)}
+    placed = {}
+    order = []
+    while len(order) < len(ordered_sites):
+        progressed = False
+        for i, s in enumerate(ordered_sites):
+            if i in placed:
+                continue
+            deps = [d for d in (s.mu_dep, s.prec_dep) if d is not None]
+            if all(name_to_idx[d] in placed for d in deps):
+                placed[i] = True
+                order.append(i)
+                progressed = True
+        if not progressed:
+            raise ValueError("Cyclic dependency among parameter sites")
+    return order
+
+
+class ParamProgram:
+    """Static compilation of a ParamSites spec.
+
+    All members are host numpy constants; the jnp methods are pure functions
+    of (q-arrays, u, theta) and trace into a single fused XLA program.
+    """
+
+    def __init__(self, param_sites: S.ParamSites):
+        self.sites = param_sites
+        ordered = param_sites.ordered
+        self.names = [s.name for s in ordered]
+        self.index = {n: i for i, n in enumerate(self.names)}
+        n = len(ordered)
+        self.n_theta = n
+
+        kinds = [s.kind for s in ordered]
+        self.is_lognormal = np.array([k == S.LOGNORMAL for k in kinds])
+        self.is_constant = np.array([k == S.CONSTANT for k in kinds])
+        self.is_truncated = np.array([k == S.TRUNCATED for k in kinds])
+        self.is_kumaraswamy = np.array([k == S.KUMARASWAMY for k in kinds])
+        # Sites whose (mu, prec) parameterise a (possibly transformed) Normal
+        self.is_normal_family = ~(self.is_constant | self.is_kumaraswamy)
+
+        self.prior_mu = np.array([s.init_mu for s in ordered], np.float32)
+        self.prior_prec = np.array([s.init_prec for s in ordered], np.float32)
+        self.const_value = np.where(self.is_constant, self.prior_mu, 0.0).astype(np.float32)
+        self.trunc_a = np.array([s.a for s in ordered], np.float32)
+        self.trunc_b = np.array([s.b for s in ordered], np.float32)
+        self.zmin = np.array([s.zmin for s in ordered], np.float32)
+        self.zmax = np.array([s.zmax for s in ordered], np.float32)
+
+        # Tier index ranges in theta order: local | global_cond | global | const
+        c = param_sites.counts()
+        edges = np.cumsum([0] + list(c))
+        self.local_slice = slice(edges[0], edges[1])
+        self.global_cond_slice = slice(edges[1], edges[2])
+        self.global_slice = slice(edges[2], edges[3])
+        self.constant_slice = slice(edges[3], edges[4])
+
+        # Dependency slots, resolved to indices once (build time, not sample time)
+        self.dep_sites = []  # (idx, mu_dep_idx | -1, prec_dep_idx | -1)
+        for i, s in enumerate(ordered):
+            if s.mu_dep is not None or s.prec_dep is not None:
+                mu_j = self.index[s.mu_dep] if s.mu_dep is not None else -1
+                prec_j = self.index[s.prec_dep] if s.prec_dep is not None else -1
+                self.dep_sites.append((i, mu_j, prec_j))
+        self.topo_order = _toposort(ordered)
+        self.has_deps = len(self.dep_sites) > 0
+
+        self._clip_cache = {}
+
+    # ------------------------------------------------------------------ helpers
+    def prior_q(self):
+        """The prior p as q-style arrays (row-broadcastable)."""
+        return AttrDict(
+            mu=jnp.asarray(self.prior_mu)[None, :],
+            prec=jnp.asarray(self.prior_prec)[None, :],
+        )
+
+    def theta_dict(self, theta):
+        """View theta[..., n_theta] as named [...,]-column slices."""
+        return AttrDict((name, theta[..., i]) for i, name in enumerate(self.names))
+
+    # ------------------------------------------------------------------ sample
+    def _transform(self, pre, u, mu_b, prec_b, sigma_b):
+        """Map pre-samples (mu + sigma*u) through each site's bijection."""
+        theta = pre
+        if self.is_lognormal.any():
+            theta = jnp.where(self.is_lognormal, jnp.exp(pre), theta)
+        if self.is_truncated.any():
+            # Inverse-CDF sampling of the truncated normal from standard-normal
+            # draws u: v = Phi(u); x = mu + sigma * Phi^-1(PhiA + v (PhiB-PhiA))
+            sigma_safe = jnp.where(self.is_truncated, sigma_b, 1.0)
+            A = (self.trunc_a - mu_b) / sigma_safe
+            B = (self.trunc_b - mu_b) / sigma_safe
+            PhiA, PhiB = jnorm.cdf(A), jnorm.cdf(B)
+            v = jnorm.cdf(u)
+            vv = jnp.clip(PhiA + v * (PhiB - PhiA), 1e-6, 1.0 - 1e-6)
+            theta = jnp.where(self.is_truncated, mu_b + sigma_b * ndtri(vv), theta)
+        if self.is_kumaraswamy.any():
+            # Here (mu, prec) slots carry (a, b).  x = zmin + zr*(1-(1-v)^(1/b))^(1/a)
+            v = jnp.clip(jnorm.cdf(u), 1e-6, 1.0 - 1e-6)
+            a_k = jnp.where(self.is_kumaraswamy, mu_b, 1.0)
+            b_k = jnp.where(self.is_kumaraswamy, prec_b, 1.0)
+            x = self.zmin + (self.zmax - self.zmin) * (
+                1.0 - (1.0 - v) ** (1.0 / b_k)
+            ) ** (1.0 / a_k)
+            theta = jnp.where(self.is_kumaraswamy, x, theta)
+        if self.is_constant.any():
+            theta = jnp.where(self.is_constant, self.const_value, theta)
+        return theta
+
+    def sample(self, q, u):
+        """Reparameterised draw theta[B,K,n] from standard-normal u[B,K,n]
+        (parity: TfNormal.sample mu + sigma*u, TfLogNormal exp thereof —
+        reference vihds/distributions.py:327-330, 369-371)."""
+        mu = jnp.atleast_2d(q["mu"])  # [B|1, n]
+        prec = jnp.atleast_2d(q["prec"])
+        sigma = 1.0 / jnp.sqrt(jnp.maximum(prec, EPS))
+        mu_b = mu[:, None, :]
+        prec_b = prec[:, None, :]
+        sigma_b = sigma[:, None, :]
+        pre = mu_b + sigma_b * u
+        theta = self._transform(pre, u, mu_b, prec_b, sigma_b)
+
+        if self.has_deps:
+            # Re-draw dependent sites in topological order, their mu/prec read
+            # from already-sampled columns (capability parity with slot
+            # dependencies, reference vihds/distributions.py:119-142).
+            dep_map = {i: (mj, pj) for i, mj, pj in self.dep_sites}
+            for i in self.topo_order:
+                if i not in dep_map:
+                    continue
+                mj, pj = dep_map[i]
+                mu_i = theta[:, :, mj] if mj >= 0 else mu_b[:, :, i]
+                prec_i = theta[:, :, pj] if pj >= 0 else jnp.maximum(prec, EPS)[:, None, i]
+                sigma_i = 1.0 / jnp.sqrt(jnp.maximum(prec_i, EPS))
+                pre_i = mu_i + sigma_i * u[:, :, i]
+                val = jnp.exp(pre_i) if self.is_lognormal[i] else pre_i
+                theta = theta.at[:, :, i].set(val)
+        return theta
+
+    # ----------------------------------------------------------------- log_prob
+    def log_prob(self, q, theta, total=True):
+        """Joint log q(theta) over sites, summed to [B,K] (or per-site [B,K,n]).
+
+        Mirrors the reference Normal/LogNormal densities exactly, including the
+        reference's -log(2*pi) constant (instead of the canonical -0.5*log(2*pi),
+        reference vihds/distributions.py:345) — the constant cancels between
+        log p(theta) and log q(theta) in the IWAE bound, and keeping it makes
+        per-component diagnostics comparable with the reference.
+        """
+        mu = jnp.atleast_2d(q["mu"])[:, None, :]
+        prec = jnp.atleast_2d(q["prec"])[:, None, :]
+
+        if self.has_deps:
+            B, K, n = theta.shape
+            mu = jnp.broadcast_to(mu, (B, K, n))
+            prec = jnp.broadcast_to(prec, (B, K, n))
+            for i, mj, pj in self.dep_sites:
+                if mj >= 0:
+                    mu = mu.at[:, :, i].set(theta[:, :, mj])
+                if pj >= 0:
+                    prec = prec.at[:, :, i].set(theta[:, :, pj])
+
+        # Normal family (Normal / LogNormal / TruncatedNormal)
+        x_eff = jnp.where(self.is_lognormal, jnp.log(theta + EPS), theta)
+        lp = -LOG2PI + 0.5 * jnp.log(prec + EPS) - 0.5 * prec * (mu - x_eff) ** 2
+        lp = jnp.where(self.is_lognormal, lp - jnp.log(theta + EPS), lp)
+        if self.is_truncated.any():
+            sigma = 1.0 / jnp.sqrt(jnp.maximum(prec, EPS))
+            A = (self.trunc_a - mu) / sigma
+            B_ = (self.trunc_b - mu) / sigma
+            logZ = jnp.log(jnp.maximum(jnorm.cdf(B_) - jnorm.cdf(A), EPS))
+            lp = jnp.where(self.is_truncated, lp - logZ, lp)
+        if self.is_kumaraswamy.any():
+            a_k = jnp.where(self.is_kumaraswamy, mu, 1.0)
+            b_k = jnp.where(self.is_kumaraswamy, prec, 1.0)
+            zr = self.zmax - self.zmin
+            z = jnp.clip((theta - self.zmin) / zr, 1e-6, 1.0 - 1e-6)
+            lp_k = (
+                jnp.log(a_k)
+                + jnp.log(b_k)
+                + (a_k - 1.0) * jnp.log(z)
+                + (b_k - 1.0) * jnp.log1p(-(z ** a_k))
+                - jnp.log(zr)
+            )
+            lp = jnp.where(self.is_kumaraswamy, lp_k, lp)
+        lp = jnp.where(self.is_constant, 0.0, lp)
+        return lp.sum(-1) if total else lp
+
+    # --------------------------------------------------------------------- clip
+    def clip_bounds(self, stddevs=4):
+        """Static per-site clip bounds from the PRIOR (parity:
+        p.clip(theta, stddevs=4) at reference vihds/vae.py:34,
+        TfNormal.clip / TfLogNormal.clip at distributions.py:332-336,377-381)."""
+        key = int(stddevs)
+        if key not in self._clip_cache:
+            sigma = 1.0 / np.sqrt(np.maximum(self.prior_prec, EPS))
+            lo = self.prior_mu - stddevs * sigma
+            hi = self.prior_mu + stddevs * sigma
+            lo = np.where(self.is_lognormal, np.exp(lo), lo)
+            hi = np.where(self.is_lognormal, np.exp(hi), hi)
+            # Constants and Kumaraswamy use the base-class no-op clip
+            # (reference distributions.py:194-195); prior-dependent sites
+            # cannot be bounded statically.
+            no_clip = self.is_constant | self.is_kumaraswamy
+            lo = np.where(no_clip, -np.inf, lo).astype(np.float32)
+            hi = np.where(no_clip, np.inf, hi).astype(np.float32)
+            self._clip_cache[key] = (lo, hi)
+        return self._clip_cache[key]
+
+    def clip(self, theta, stddevs=4):
+        lo, hi = self.clip_bounds(stddevs)
+        return jnp.clip(theta, lo, hi)

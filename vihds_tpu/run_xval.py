@@ -1,0 +1,105 @@
+"""Single-split CLI: train one train/validation split of a spec.
+
+Usage parity with the reference entry point
+(``python -m vihds_tpu.run_xval specs/dr_constant_one.yaml --experiment X
+--epochs N ...``; reference vihds/run_xval.py).
+"""
+
+import argparse
+
+from vihds_tpu.config import Config, Trainer
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import Training
+from vihds_tpu.vae import VAE
+from vihds_tpu.xval import XvalMerge
+
+
+def create_parser(with_split: bool):
+    """CLI flags (parity: vihds/run_xval.py:17-57)."""
+    parser = argparse.ArgumentParser(description="VI-HDS-TPU")
+    parser.add_argument("yaml", type=str, help="Name of yaml spec file")
+    parser.add_argument(
+        "--experiment",
+        type=str,
+        default="unnamed",
+        help="Name for experiment, also location of tensorboard and saved results",
+    )
+    parser.add_argument("--seed", type=int, default=None, help="Random seed (default: 0)")
+    parser.add_argument("--epochs", type=int, default=1000, help="Training epochs")
+    parser.add_argument("--test_epoch", type=int, default=20, help="Frequency of calling test")
+    parser.add_argument("--plot_epoch", type=int, default=100, help="Frequency of plotting figures")
+    parser.add_argument(
+        "--train_samples",
+        type=int,
+        default=200,
+        help="Number of samples from q, per datapoint, during training",
+    )
+    parser.add_argument(
+        "--test_samples",
+        type=int,
+        default=1000,
+        help="Number of samples from q, per datapoint, during testing",
+    )
+    parser.add_argument("--dreg", action="store_true", default=False, help="Use DReG estimator")
+    parser.add_argument(
+        "--precision_hidden_layers",
+        type=int,
+        default=None,
+        help="Number of hidden layers to use in neural precisions",
+    )
+    parser.add_argument(
+        "--verbose", action="store_true", default=False, help="Print more information"
+    )
+    parser.add_argument(
+        "--gpu", type=int, default=None, help="Ignored (accelerator selection is JAX-level)"
+    )
+    if with_split:
+        group = parser.add_mutually_exclusive_group()
+        group.add_argument("--heldout", type=str, help="name of held-out device, e.g. R33S32_Y81C76")
+        group.add_argument(
+            "--split", type=int, default=1, help="Specify split in 1:folds for cross-validation"
+        )
+        group.add_argument(
+            "--figures", action="store_true", default=False, help="Create figures (default: False)"
+        )
+    parser.add_argument("--folds", type=int, default=4, help="Cross-validation folds")
+    return parser
+
+
+def run_on_split(args, settings, split=None):
+    """Run one train-test split (parity: vihds/run_xval.py:60-72)."""
+    if getattr(args, "heldout", None):
+        print("Heldout device is %s" % args.heldout)
+    else:
+        args.heldout = None
+        if split is not None:
+            args.split = split
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    training = Training(args, settings, data, program, model)
+    return data, training.run()
+
+
+def main(argv=None):
+    parser = create_parser(True)
+    args = parser.parse_args(argv)
+    settings = Config(args)
+    settings.trainer = Trainer(args, add_timestamp=True)
+    data_pair, val_results = run_on_split(args, settings)
+
+    if (val_results is not None) and settings.trainer is not None:
+        xval_merge = XvalMerge(args, settings)
+        xval_merge.add(1, data_pair, val_results)
+        xval_merge.finalize()
+        xval_merge.save()
+        xval_merge.mark_completed(args.experiment)
+        if args.figures:
+            xval_merge.make_writer()
+            xval_merge.make_images()
+            xval_merge.close_writer()
+
+
+if __name__ == "__main__":
+    main()

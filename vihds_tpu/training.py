@@ -1,0 +1,390 @@
+"""Training engine: jitted IWAE-ELBO steps, Adam + multi-step LR, periodic
+large-K evaluation, best-validation caching, TensorBoard summaries.
+
+Capability parity with reference vihds/training.py, re-architected TPU-first:
+
+  * ONE jit-compiled train step: forward + IWAE cost + grad + Adam update —
+    no per-op Python dispatch (the reference's hot loop is 85 Python-stepped
+    solver iterations per batch, vihds/solvers.py:9-17).
+  * Static shapes everywhere: the trailing partial batch is padded and masked
+    (the mask enters the batch-mean of the IWAE bound), so every epoch reuses
+    one compiled program.
+  * Evaluation computes importance-weighted posterior-predictive moments on
+    device and ships only [B, S, T]-sized summaries to host (the reference
+    pulls the full [B, K, S, T] tensors to numpy, vihds/utils.py:86-99).
+  * NaN-abort checks once per epoch on the device-side ELBO values (the
+    reference syncs per batch, vihds/training.py:331-333; same abort
+    capability, without stalling the device pipeline).
+"""
+
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vihds_tpu import plotting_hooks
+from vihds_tpu.ops.logprob import log_prob_observations
+from vihds_tpu.results import Results
+from vihds_tpu.utils import TrainingLogData
+from vihds_tpu.utils.attrdict import AttrDict
+
+
+def iwae_elbo_terms(program, out, batch, use_laplace):
+    """log-weights and components: returns AttrDict with log_w[B,K],
+    log_p_by_species[B,K,S], log_p_obs[B,K], log_q[B,K], log_p[B,K]
+    (parity: cost() at vihds/training.py:127-174)."""
+    log_p_by_species = log_prob_observations(
+        out.x_predict, batch.observations, out.precisions, use_laplace
+    )
+    log_p_obs = log_p_by_species.sum(axis=2)
+    log_q = program.log_prob(out.q, out.theta)
+    log_p = program.log_prob(program.prior_q(), out.theta)
+    log_w = log_p_obs + log_p - log_q
+    return AttrDict(
+        log_w=log_w,
+        log_p_by_species=log_p_by_species,
+        log_p_obs=log_p_obs,
+        log_q=log_q,
+        log_p=log_p,
+    )
+
+
+def masked_mean(x, mask):
+    if mask is None:
+        return x.mean()
+    return (x * mask).sum() / mask.sum()
+
+
+def iwae_elbo(terms, mask=None):
+    """-IWAE cost = mean_B(logsumexp_K(log w) - log K)."""
+    n_iwae = terms.log_w.shape[1]
+    lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
+    return masked_mean(lse - math.log(n_iwae), mask)
+
+
+def _importance_weighted_outputs(terms, out):
+    """On-device IW moments (parity: Results.init, vihds/utils.py:79-99)."""
+    lse = jax.scipy.special.logsumexp(terms.log_w, axis=1, keepdims=True)
+    w = jnp.exp(terms.log_w - lse)[:, :, None, None]  # [B,K,1,1]
+    x_predict = out.x_predict
+    precisions = out.precisions
+    iw_predict_mu = jnp.sum(w * x_predict, 1)
+    iw_predict_std = jnp.sqrt(
+        jnp.maximum(jnp.sum(w * (x_predict ** 2 + 1.0 / precisions), 1) - iw_predict_mu ** 2, 0.0)
+    )
+    iw_states = jnp.sum(w * out.x_states, 1)
+    iw_variance = jnp.sum(w / precisions * jnp.ones_like(x_predict), 1)
+    return dict(
+        iw_predict_mu=iw_predict_mu,
+        iw_predict_std=iw_predict_std,
+        iw_states=iw_states,
+        iw_variance=iw_variance,
+    )
+
+
+def batch_arrays(subset_batch):
+    """Host batch dict -> jnp arrays AttrDict."""
+    return AttrDict(
+        observations=jnp.asarray(subset_batch.observations),
+        inputs=jnp.asarray(subset_batch.inputs),
+        dev_1hot=jnp.asarray(subset_batch.dev_1hot),
+        times=jnp.asarray(subset_batch.times),
+    )
+
+
+class Training:
+    """Orchestrates training of the latent space using the IWAE bound
+    (parity: vihds/training.py:71-383)."""
+
+    def __init__(self, args, settings, data, program, model, mesh=None):
+        self.args = args
+        self.settings = settings
+        self.dataset_pair = data
+        self.model = model
+        self.program = program
+        self.mesh = mesh
+
+        p = settings.params
+        self.n_batch = min(p.n_batch, data.n_train)
+        steps_per_epoch = max(1, math.ceil(data.n_train / self.n_batch))
+        boundaries = {
+            int(b) * steps_per_epoch: p.learning_gamma for b in p.learning_boundaries
+        }
+        schedule = optax.piecewise_constant_schedule(p.learning_rate, boundaries)
+        self.tx = optax.adam(schedule)
+
+        # Full train/valid splits as host arrays for the big-K eval
+        self.train_data = data.train.batch()
+        self.valid_data = data.test.batch()
+
+        if settings.trainer is not None:
+            held_out_name = getattr(args, "heldout", None) or "%d_of_%d" % (
+                args.split,
+                args.folds,
+            )
+            self.train_path = os.path.join(settings.trainer.tb_log_dir, "train_%s" % held_out_name)
+            self.valid_path = os.path.join(settings.trainer.tb_log_dir, "valid_%s" % held_out_name)
+            os.makedirs(self.train_path, exist_ok=True)
+            os.makedirs(self.valid_path, exist_ok=True)
+        else:
+            self.train_path = None
+            self.valid_path = None
+        self.empty_cache = True
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------ steps
+    def _build_steps(self):
+        model, program = self.model, self.program
+        use_laplace = model.use_laplace
+        n_train_samples = self.args.train_samples
+
+        def loss_fn(params, batch, mask, key):
+            u = model.sample_u(key, batch.observations.shape[0], n_train_samples)
+            out = model.forward(params, batch, u)
+            terms = iwae_elbo_terms(program, out, batch, use_laplace)
+            elbo = iwae_elbo(terms, mask)
+            return -elbo
+
+        def train_step(params, opt_state, batch, mask, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, mask, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, -loss
+
+        def eval_step(params, batch, mask, key, n_samples):
+            u = model.sample_u(key, batch.observations.shape[0], n_samples)
+            out = model.forward(params, batch, u)
+            terms = iwae_elbo_terms(program, out, batch, use_laplace)
+            lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
+            per_item_elbo = lse - math.log(n_samples)
+            iw = _importance_weighted_outputs(terms, out)
+            return AttrDict(
+                per_item_elbo=per_item_elbo,
+                log_w=terms.log_w,
+                log_p_obs=terms.log_p_obs,
+                log_p_by_species=terms.log_p_by_species,
+                log_q=terms.log_q,
+                log_p=terms.log_p,
+                theta=jnp.transpose(out.theta, (2, 0, 1)),  # [n_theta, B, K]
+                q_mu=out.q.mu,
+                q_prec=out.q.prec,
+                **iw,
+            )
+
+        if self.mesh is not None:
+            from vihds_tpu.parallel import shard_step
+
+            self._train_step = shard_step(train_step, self.mesh)
+            self._eval_step = jax.jit(eval_step, static_argnames=("n_samples",))
+        else:
+            self._train_step = jax.jit(train_step)
+            self._eval_step = jax.jit(eval_step, static_argnames=("n_samples",))
+
+    # ------------------------------------------------------------------- eval
+    def _eval_full(self, params, host_data, n_samples, key, chunk=None):
+        """Chunked full-split evaluation; IWAE is exact under data-chunking."""
+        n = host_data.observations.shape[0]
+        chunk = chunk or self.n_batch
+        outs = []
+        for start in range(0, n, chunk):
+            idx = np.arange(start, min(start + chunk, n))
+            pad = chunk - len(idx)
+            idx_p = np.concatenate([idx, np.zeros(pad, int)]) if pad else idx
+            b = AttrDict(
+                observations=jnp.asarray(host_data.observations[idx_p]),
+                inputs=jnp.asarray(host_data.inputs[idx_p]),
+                dev_1hot=jnp.asarray(host_data.dev_1hot[idx_p]),
+                times=jnp.asarray(host_data.times),
+            )
+            key, sub = jax.random.split(key)
+            o = self._eval_step(params, b, None, sub, n_samples)
+            o = jax.tree_util.tree_map(np.asarray, dict(o))
+            if pad:
+                for k, v in o.items():
+                    o[k] = v[:, : len(idx)] if k == "theta" else v[: len(idx)]
+            outs.append(o)
+        merged = AttrDict()
+        for k in outs[0]:
+            axis = 1 if k == "theta" else 0
+            merged[k] = np.concatenate([o[k] for o in outs], axis=axis)
+        merged["elbo"] = float(np.mean(merged["per_item_elbo"]))
+        return merged
+
+    def _make_results(self, merged):
+        res = Results()
+        res.init(
+            self.model.state_names,
+            self.program,
+            merged.q_mu,
+            merged.q_prec,
+            merged.theta,
+            merged.elbo,
+            {k: merged[k] for k in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance")},
+        )
+        return res
+
+    def _update_summaries(self, writer, epoch, merged):
+        """TensorBoard scalars (parity: vihds/training.py:176-210)."""
+        if writer is None:
+            return
+        from vihds_tpu.utils import variable_summaries
+
+        plot_histograms = self.settings.params.plot_histograms
+        log_w = merged.log_w
+        lse = merged.per_item_elbo + math.log(log_w.shape[1])
+        normed = np.exp(log_w - lse[:, None])
+        ts = min(1, log_w.shape[0] - 1)
+        variable_summaries(writer, epoch, log_w[ts, :], "IWS_unn_log", plot_histograms)
+        variable_summaries(writer, epoch, normed[ts, :], "IWS_normed", plot_histograms)
+        writer.add_scalar("ELBO/elbo", merged.elbo, epoch)
+        writer.add_scalar(
+            "ELBO/log_p", float(_np_logsumexp(merged.log_p_obs, 1).mean()), epoch
+        )
+        for i, name in enumerate(self.settings.data.signals):
+            writer.add_scalar(
+                "ELBO/log_p_" + name,
+                float(_np_logsumexp(merged.log_p_by_species[:, :, i], 1).mean()),
+                epoch,
+            )
+        writer.add_scalar("ELBO/log_prior", float(_np_logsumexp(merged.log_p, 1).mean()), epoch)
+        writer.add_scalar("ELBO/loq_q", float(_np_logsumexp(merged.log_q, 1).mean()), epoch)
+
+    def _evaluate_elbo_and_plot(self, params, epoch, log_data, train_writer, valid_writer, key):
+        """Periodic big-K eval on the FULL train and valid splits
+        (parity: vihds/training.py:267-322)."""
+        print("epoch %4d" % epoch, end="", flush=True)
+        log_data.n_test += 1
+        test_start = time.time()
+        plot = (self.args.plot_epoch > 0) and (np.mod(epoch, self.args.plot_epoch) == 0)
+
+        k1, k2 = jax.random.split(key)
+        train_merged = self._eval_full(params, self.train_data, self.args.train_samples, k1)
+        self._update_summaries(train_writer, epoch, train_merged)
+        train_output = self._make_results(train_merged)
+        print(
+            " | train (iwae-elbo = %0.4f, time = %0.2f, total = %0.2f)"
+            % (
+                train_merged.elbo,
+                log_data.total_train_time / epoch,
+                log_data.total_train_time,
+            ),
+            end="",
+            flush=True,
+        )
+        if train_writer is not None and plot:
+            plotting_hooks.eval_plots(
+                self, train_writer, epoch, self.train_data, train_output, dynamic=self.model.ode_model.precisions.dynamic
+            )
+        valid_merged = self._eval_full(params, self.valid_data, self.args.test_samples, k2)
+        self._update_summaries(valid_writer, epoch, valid_merged)
+        valid_output = self._make_results(valid_merged)
+        if valid_writer is not None and plot:
+            plotting_hooks.eval_plots(
+                self, valid_writer, epoch, self.valid_data, valid_output, dynamic=self.model.ode_model.precisions.dynamic
+            )
+        log_data.total_test_time += time.time() - test_start
+        print(
+            " | val (iwae-elbo = %0.4f, time = %0.2f, total = %0.2f)"
+            % (
+                valid_merged.elbo,
+                log_data.total_test_time / log_data.n_test,
+                log_data.total_test_time,
+            )
+        )
+
+        if valid_merged.elbo > log_data.max_val_elbo:
+            log_data.max_val_elbo = valid_merged.elbo
+            valid_output.dump()
+            self.empty_cache = False
+
+        log_data.training_elbo_list.append(train_merged.elbo)
+        log_data.validation_elbo_list.append(valid_merged.elbo)
+        return valid_output
+
+    # -------------------------------------------------------------------- run
+    def run(self):
+        if self.settings.trainer is not None:
+            from torch.utils.tensorboard import SummaryWriter
+
+            train_writer = SummaryWriter(self.train_path)
+            valid_writer = SummaryWriter(self.valid_path)
+        else:
+            train_writer = None
+            valid_writer = None
+
+        seed = self.settings.seed or 0
+        key = jax.random.PRNGKey(seed)
+        key, k_init = jax.random.split(key)
+        params = self.model.init_params(k_init)
+        opt_state = self.tx.init(params)
+
+        rng = np.random.RandomState(seed)
+        n_train = self.dataset_pair.n_train
+        train_host = self.train_data
+        times = jnp.asarray(train_host.times)
+
+        log_data = TrainingLogData()
+        print("---------------------------")
+        if getattr(self.args, "heldout", None):
+            print("Training: heldout device = %s" % self.args.heldout)
+        else:
+            print("Training: split %d of %d" % (self.args.split, self.args.folds))
+        valid_output = None
+        iterating = True
+        epoch = 1
+        while iterating and (epoch < self.args.epochs + 1):
+            epoch_start = time.time()
+            perm = rng.permutation(n_train)
+            epoch_elbos = []
+            for start in range(0, n_train, self.n_batch):
+                idx = perm[start : start + self.n_batch]
+                pad = self.n_batch - len(idx)
+                mask = np.ones(self.n_batch, np.float32)
+                if pad:
+                    mask[len(idx) :] = 0.0
+                    idx = np.concatenate([idx, np.zeros(pad, int)])
+                batch = AttrDict(
+                    observations=jnp.asarray(train_host.observations[idx]),
+                    inputs=jnp.asarray(train_host.inputs[idx]),
+                    dev_1hot=jnp.asarray(train_host.dev_1hot[idx]),
+                    times=times,
+                )
+                key, sub = jax.random.split(key)
+                params, opt_state, elbo = self._train_step(
+                    params, opt_state, batch, jnp.asarray(mask), sub
+                )
+                epoch_elbos.append(elbo)
+            # NaN abort, checked once per epoch (capability parity with
+            # vihds/training.py:331-333 without a per-batch device sync)
+            epoch_elbos = np.asarray(jnp.stack(epoch_elbos))
+            if not np.isfinite(epoch_elbos).all():
+                print("Cannot proceed with ELBO = nan. Exiting.")
+                iterating = False
+            log_data.total_train_time += time.time() - epoch_start
+            if iterating and np.mod(epoch, self.args.test_epoch) == 0:
+                key, sub = jax.random.split(key)
+                valid_output = self._evaluate_elbo_and_plot(
+                    params, epoch, log_data, train_writer, valid_writer, sub
+                )
+            epoch += 1
+        if train_writer is not None:
+            train_writer.close()
+            valid_writer.close()
+
+        self.final_params = params
+        if self.empty_cache:
+            print("Exiting with no results in cache")
+            return None
+        valid_output.load()
+        valid_output.elbo_list = log_data.validation_elbo_list
+        return valid_output
+
+
+def _np_logsumexp(x, axis):
+    m = np.max(x, axis=axis, keepdims=True)
+    return (m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))).squeeze(axis)

@@ -1,0 +1,92 @@
+"""End-to-end VAE: encoder -> sample -> clip -> condition -> integrate -> observe.
+
+Capability parity with reference vihds/vae.py + vihds/decoders.py, as pure
+functions of an explicit param pytree so the whole forward (and its gradient)
+compiles into one XLA program.  The latent draw u ~ N(0,1) comes from
+``jax.random`` keys threaded through the step (the reference draws from the
+*numpy* global RNG every forward, vihds/vae.py:22-24 — noted in SURVEY.md §2.5).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from vihds_tpu import models
+from vihds_tpu.nn.encoder import Encoder
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.utils.attrdict import AttrDict
+
+
+class VAE:
+    """Static model assembly; all state lives in the params pytree."""
+
+    def __init__(self, settings, data, program: ParamProgram):
+        self.program = program
+        self.encoder = Encoder(program, data, settings.params)
+        self.ode_model = models.LOOKUP[settings.model](settings)
+        # Single-device specs disable decoder conditioning
+        # (parity: vihds/vae.py:42-47).
+        self.condition_on_device = settings.data.device_depth > 1
+        if not self.condition_on_device:
+            self.ode_model.conditioned_params = ()
+        self.n_theta = program.n_theta
+        self.state_names = self.ode_model.species
+        self.use_laplace = self.ode_model.use_laplace
+
+    def init_params(self, key):
+        k_enc, k_dec = jax.random.split(key)
+        return {
+            "enc": self.encoder.init_params(k_enc),
+            "dec": self.ode_model.init_params(k_dec),
+        }
+
+    def sample_u(self, key, n_batch, n_samples):
+        from vihds_tpu import parallel
+
+        u = jax.random.normal(key, (n_batch, n_samples, self.n_theta), jnp.float32)
+        return parallel.constrain_u(u)
+
+    def forward(self, params, batch, u, checkpoint=False):
+        """One forward pass.  ``batch``: AttrDict of device arrays
+        (observations[B,S,T], inputs[B,C], dev_1hot[B,D], times[T]);
+        ``u``: [B,K,n_theta] standard-normal draws.
+
+        Returns AttrDict with x_states[B,K,S,T], x_predict[B,K,4,T],
+        precisions (broadcastable to x_predict), theta[B,K,n_theta] (clipped),
+        theta_cond (named view incl. conditioner outputs), q arrays.
+        (parity: vihds/vae.py:26-36 + vihds/decoders.py:28-45)
+        """
+        q = self.encoder(params["enc"], batch)
+        theta = self.program.sample(q, u)
+        clipped = self.program.clip(theta, stddevs=4)
+        th = self.program.theta_dict(clipped)
+        if self.condition_on_device:
+            th = self.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
+        x_solution = self.ode_model.simulate(
+            params["dec"],
+            th,
+            batch.times,
+            batch.inputs,
+            batch.dev_1hot,
+            n_iwae=u.shape[1],
+            checkpoint=checkpoint,
+        )
+        x_states, precisions = self.ode_model.expand_precisions(
+            params["dec"], th, batch.times.shape[0], x_solution
+        )
+        x_predict = self.ode_model.observe(x_states, th)
+        return AttrDict(
+            x_states=x_states,
+            x_predict=x_predict,
+            precisions=precisions,
+            theta=clipped,
+            theta_cond=th,
+            q=q,
+        )
+
+
+def build_model(args, settings, dataset, program=None):
+    """Parse the spec's parameter tiers and assemble the VAE
+    (parity: vihds/vae.py:39-51)."""
+    if program is None:
+        program = ParamProgram(parse_parameters(settings.params))
+    return VAE(settings, dataset, program)
