@@ -1,0 +1,78 @@
+"""Checkpoint/resume: save params+opt+RNG, restore bit-exact, resume a run."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tests.conftest import make_args, spec
+from vihds_tpu import checkpoint as ckpt
+from vihds_tpu.config import Config
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.vae import VAE
+
+
+def test_save_restore_roundtrip(tmp_path):
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(42)
+
+    d = str(tmp_path / "ckpts")
+    ckpt.save(d, 3, params, opt_state, key, extra={"epoch": 3})
+    assert ckpt.latest_epoch(d) == 3
+
+    template = {"params": params, "opt_state": opt_state, "key": np.asarray(key), "extra": {"epoch": 0}}
+    step, state = ckpt.restore(d, template=template)
+    assert step == 3
+    assert int(state["extra"]["epoch"]) == 3
+    np.testing.assert_array_equal(np.asarray(state["key"]), np.asarray(key))
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(state["opt_state"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_empty_dir(tmp_path):
+    step, state = ckpt.restore(str(tmp_path / "nothing_here"))
+    assert step is None and state is None
+
+
+def test_training_resume_continues(tmp_path, monkeypatch):
+    """Run 2 epochs with checkpointing, resume, and confirm training continues
+    from the checkpointed epoch."""
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    from vihds_tpu.config import Trainer
+    from vihds_tpu.run_xval import run_on_split
+
+    args = make_args(spec("dr_constant_one.yaml"), epochs=2, test_epoch=2)
+    args.checkpoint_epoch = 2
+    args.experiment = "ckpt_run"
+    settings = Config(args)
+    settings.trainer = Trainer(args, add_timestamp=False)
+    run_on_split(args, settings)
+    ckpt_dir = os.path.join(settings.trainer.tb_log_dir, "checkpoints_1_of_4")
+    assert ckpt.latest_epoch(ckpt_dir) == 2
+
+    # Resume for 2 more epochs
+    args2 = make_args(spec("dr_constant_one.yaml"), epochs=4, test_epoch=2)
+    args2.resume_from = ckpt_dir
+    args2.checkpoint_epoch = 4
+    args2.experiment = "ckpt_run2"
+    settings2 = Config(args2)
+    settings2.trainer = Trainer(args2, add_timestamp=False)
+    data, results = run_on_split(args2, settings2)
+    assert results is not None
+    ckpt_dir2 = os.path.join(settings2.trainer.tb_log_dir, "checkpoints_1_of_4")
+    assert ckpt.latest_epoch(ckpt_dir2) == 4

@@ -1,0 +1,103 @@
+"""End-to-end integration via subprocess, reference-style
+(model: reference tests/test_run_xval.py — run the CLI at a tiny regime,
+assert finite iwae-elbo lines and the results-dir layout)."""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import spec
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Force-CPU bootstrap for subprocesses (the TPU plugin overrides JAX_PLATFORMS)
+_SITECUSTOMIZE = "import jax; jax.config.update('jax_platforms', 'cpu')"
+
+
+def run_cli(module, args, tmp_path, epochs=4, test_epoch=2):
+    boot = tmp_path / "boot"
+    boot.mkdir(exist_ok=True)
+    (boot / "sitecustomize.py").write_text(_SITECUSTOMIZE)
+    env = dict(os.environ)
+    env["INFERENCE_RESULTS_DIR"] = str(tmp_path)
+    env["PYTHONPATH"] = "%s%s%s" % (boot, os.pathsep, REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable,
+        "-m",
+        module,
+        *args,
+        "--seed=0",
+        "--epochs=%d" % epochs,
+        "--test_epoch=%d" % test_epoch,
+        "--train_samples=10",
+        "--test_samples=10",
+        "--plot_epoch=0",
+    ]
+    return subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+
+
+def scrape_elbos(stdout):
+    """Pull every iwae-elbo value printed during evaluation."""
+    return [float(m) for m in re.findall(r"iwae-elbo = (\S+?)[,)]", stdout)]
+
+
+def assert_split_artifacts(tmp_path, experiment):
+    (exp_dir,) = [d for d in os.listdir(tmp_path) if d.startswith(experiment)]
+    contents = os.listdir(os.path.join(tmp_path, exp_dir))
+    assert "completed.txt" in contents
+    for base in ("xval_elbo", "xval_q_values", "xval_theta", "xval_iw_predict_mu", "xval_times"):
+        assert base + ".npy" in contents, "missing %s.npy" % base
+    assert any(c.startswith("train_") for c in contents)
+    assert any(c.startswith("valid_") for c in contents)
+    return os.path.join(tmp_path, exp_dir)
+
+
+@pytest.mark.parametrize(
+    "spec_name",
+    ["auto_constant.yaml", "dr_constant_one.yaml", "dr_blackbox_icml.yaml"],
+)
+def test_run_xval_end_to_end(spec_name, tmp_path):
+    exp = "e2e_" + spec_name.split(".")[0]
+    r = run_cli("vihds_tpu.run_xval", [spec(spec_name), "--experiment=" + exp], tmp_path)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    elbos = scrape_elbos(r.stdout)
+    # 2 eval epochs x (train + valid) = 4 finite iwae-elbo lines
+    assert len(elbos) == 4, r.stdout[-2000:]
+    assert np.isfinite(elbos).all()
+    assert_split_artifacts(tmp_path, exp)
+
+
+def test_call_run_xval_two_folds(tmp_path):
+    """2-fold driver + merged artifacts + figures
+    (model: reference tests/test_run_xval.py test_folds2)."""
+    r = run_cli(
+        "vihds_tpu.call_run_xval",
+        [spec("dr_constant_one.yaml"), "--experiment=folds2", "--folds=2"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    elbos = scrape_elbos(r.stdout)
+    assert len(elbos) == 8  # 2 folds x 2 eval epochs x (train+valid)
+    assert np.isfinite(elbos).all()
+    loc = assert_split_artifacts(tmp_path, "folds2")
+    contents = os.listdir(loc)
+    for fig in ("xval_fit", "xval_species", "xval_treatments"):
+        assert fig + ".png" in contents, "missing %s.png" % fig
+        assert fig + ".pdf" in contents
+    # per-device figures
+    assert any(c.startswith("xval_summary_") and c.endswith(".png") for c in contents)
+    assert any(c.startswith("xval_individual_") and c.endswith(".png") for c in contents)
+    # both folds' validation sets cover all 48 series exactly once
+    ids = np.load(os.path.join(loc, "xval_ids.npy"), allow_pickle=True)
+    assert sorted(ids.tolist()) == list(range(48))
+
+
+def test_run_xval_unknown_model_message(tmp_path):
+    r = run_cli("vihds_tpu.run_xval", [spec("dr_growthrate_xval.yaml"), "--experiment=bad"], tmp_path)
+    assert r.returncode != 0
+    assert "Unknown model" in r.stderr and "dr_growthrate" in r.stderr

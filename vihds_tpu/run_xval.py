@@ -54,6 +54,18 @@ def create_parser(with_split: bool):
     parser.add_argument(
         "--gpu", type=int, default=None, help="Ignored (accelerator selection is JAX-level)"
     )
+    parser.add_argument(
+        "--checkpoint_epoch",
+        type=int,
+        default=0,
+        help="Save a full training checkpoint (params+optimizer+RNG) every N epochs (0 = off)",
+    )
+    parser.add_argument(
+        "--resume_from",
+        type=str,
+        default=None,
+        help="Path to a checkpoints directory to resume training from",
+    )
     if with_split:
         group = parser.add_mutually_exclusive_group()
         group.add_argument("--heldout", type=str, help="name of held-out device, e.g. R33S32_Y81C76")

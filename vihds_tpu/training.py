@@ -59,6 +59,60 @@ def masked_mean(x, mask):
     return (x * mask).sum() / mask.sum()
 
 
+def dreg_value_and_grad(model, program, n_samples, use_laplace):
+    """Doubly-reparameterised gradient estimator (DReG, Tucker et al. 2019)
+    for the IWAE bound.
+
+    The reference declares a --dreg flag but never reads it; its stop-grad
+    plumbing is commented out (reference vihds/run_xval.py:36,
+    vihds/encoders.py:157-159).  Implemented here for real, with ONE forward
+    pass and two VJP pulls:
+
+      * decoder params get the standard IWAE gradient
+        (cotangent w-tilde on log w with differentiable log q);
+      * encoder params get the DReG gradient: cotangent w-tilde^2 on log w
+        evaluated with log q's parameters stop-gradded, so only the
+        reparameterised sample path contributes (no score-function term).
+    """
+
+    def value_and_grad(params, batch, mask, key):
+        B = batch.observations.shape[0]
+
+        def fwd(params):
+            u = model.sample_u(key, B, n_samples)
+            out = model.forward(params, batch, u)
+            log_p_by_species = log_prob_observations(
+                out.x_predict, batch.observations, out.precisions, use_laplace
+            )
+            log_lik = log_p_by_species.sum(axis=2)
+            log_p = program.log_prob(program.prior_q(), out.theta)
+            log_q = program.log_prob(out.q, out.theta)
+            q_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, out.q)
+            log_q_sg = program.log_prob(q_sg, out.theta)
+            log_w_std = log_lik + log_p - log_q
+            log_w_dreg = log_lik + log_p - log_q_sg
+            return (log_w_std, log_w_dreg)
+
+        (log_w_std, log_w_dreg), vjp_fn = jax.vjp(fwd, params)
+        n_iwae = log_w_std.shape[1]
+        lse = jax.scipy.special.logsumexp(log_w_std, axis=1, keepdims=True)
+        elbo = masked_mean(lse[:, 0] - math.log(n_iwae), mask)
+        w_tilde = jax.lax.stop_gradient(jnp.exp(log_w_std - lse))  # [B, K]
+        if mask is None:
+            coeff = jnp.ones((B, 1)) / B
+        else:
+            coeff = (mask / mask.sum())[:, None]
+        zeros = jnp.zeros_like(log_w_std)
+        (g_std,) = vjp_fn((w_tilde * coeff, zeros))
+        (g_dreg,) = vjp_fn((zeros, (w_tilde ** 2) * coeff))
+        # d(-elbo)/dparams: decoder from the standard pull, encoder from DReG
+        grads = {"enc": jax.tree_util.tree_map(jnp.negative, g_dreg["enc"]),
+                 "dec": jax.tree_util.tree_map(jnp.negative, g_std["dec"])}
+        return -elbo, grads
+
+    return value_and_grad
+
+
 def iwae_elbo(terms, mask=None):
     """-IWAE cost = mean_B(logsumexp_K(log w) - log K)."""
     n_iwae = terms.log_w.shape[1]
@@ -150,8 +204,14 @@ class Training:
             elbo = iwae_elbo(terms, mask)
             return -elbo
 
+        if getattr(self.args, "dreg", False):
+            vag = dreg_value_and_grad(model, program, n_train_samples, use_laplace)
+        else:
+            def vag(params, batch, mask, key):
+                return jax.value_and_grad(loss_fn)(params, batch, mask, key)
+
         def train_step(params, opt_state, batch, mask, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, mask, key)
+            loss, grads = vag(params, batch, mask, key)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, -loss
@@ -323,6 +383,31 @@ class Training:
         params = self.model.init_params(k_init)
         opt_state = self.tx.init(params)
 
+        # Checkpoint/resume (capability the reference lacks — SURVEY.md §5.4)
+        from vihds_tpu import checkpoint as ckpt
+
+        ckpt_every = getattr(self.args, "checkpoint_epoch", 0) or 0
+        ckpt_dir = None
+        if self.settings.trainer is not None and (ckpt_every or getattr(self.args, "resume_from", None)):
+            held = getattr(self.args, "heldout", None) or "%d_of_%d" % (self.args.split, self.args.folds)
+            ckpt_dir = os.path.join(self.settings.trainer.tb_log_dir, "checkpoints_%s" % held)
+        start_epoch = 1
+        resume_from = getattr(self.args, "resume_from", None)
+        if resume_from:
+            template = {
+                "params": params,
+                "opt_state": opt_state,
+                "key": np.asarray(key),
+                "extra": {"epoch": 0},
+            }
+            step, state = ckpt.restore(resume_from, template=template)
+            if state is not None:
+                params = state["params"]
+                opt_state = state["opt_state"]
+                key = state["key"]
+                start_epoch = int(state["extra"]["epoch"]) + 1
+                print("Resumed from %s at epoch %d" % (resume_from, start_epoch - 1))
+
         rng = np.random.RandomState(seed)
         n_train = self.dataset_pair.n_train
         train_host = self.train_data
@@ -336,7 +421,7 @@ class Training:
             print("Training: split %d of %d" % (self.args.split, self.args.folds))
         valid_output = None
         iterating = True
-        epoch = 1
+        epoch = start_epoch
         while iterating and (epoch < self.args.epochs + 1):
             epoch_start = time.time()
             perm = rng.permutation(n_train)
@@ -371,6 +456,8 @@ class Training:
                 valid_output = self._evaluate_elbo_and_plot(
                     params, epoch, log_data, train_writer, valid_writer, sub
                 )
+            if ckpt_every and ckpt_dir and iterating and np.mod(epoch, ckpt_every) == 0:
+                ckpt.save(ckpt_dir, epoch, params, opt_state, key, extra={"epoch": epoch})
             epoch += 1
         if train_writer is not None:
             train_writer.close()

@@ -22,6 +22,11 @@ class VAE:
     def __init__(self, settings, data, program: ParamProgram):
         self.program = program
         self.encoder = Encoder(program, data, settings.params)
+        if settings.model not in models.LOOKUP:
+            raise ValueError(
+                "Unknown model %r; available: %s"
+                % (settings.model, ", ".join(sorted(models.LOOKUP)))
+            )
         self.ode_model = models.LOOKUP[settings.model](settings)
         # Single-device specs disable decoder conditioning
         # (parity: vihds/vae.py:42-47).
