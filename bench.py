@@ -55,22 +55,26 @@ def main():
     )
     mask = jnp.ones((n_batch,), jnp.float32)
 
-    step = training._train_step
-    # Warmup / compile
-    params2, opt_state2, elbo = step(params, opt_state, batch, mask, key)
-    jax.block_until_ready(elbo)
-    assert np.isfinite(float(elbo)), "warmup ELBO not finite"
-
+    # Measure the fused epoch path (lax.scan over batches, one dispatch):
+    # 50 steps per call, matching how Training.run actually trains.
     n_steps = 50
+    stack = lambda a: jnp.broadcast_to(a[None], (n_steps,) + a.shape)
+    obs_s, inp_s, dev_s = stack(batch.observations), stack(batch.inputs), stack(batch.dev_1hot)
+    masks = jnp.ones((n_steps, n_batch), jnp.float32)
+
+    epoch_fn = training._train_epoch
+    p, o, key, elbos = epoch_fn(params, opt_state, key, obs_s, inp_s, dev_s, batch.times, masks)
+    jax.block_until_ready(elbos)
+    assert np.isfinite(np.asarray(elbos)).all(), "warmup ELBOs not finite"
+
+    n_calls = 4
     t0 = time.perf_counter()
-    p, o = params2, opt_state2
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        p, o, elbo = step(p, o, batch, mask, sub)
-    jax.block_until_ready(elbo)
+    for _ in range(n_calls):
+        p, o, key, elbos = epoch_fn(p, o, key, obs_s, inp_s, dev_s, batch.times, masks)
+    jax.block_until_ready(elbos)
     dt = time.perf_counter() - t0
 
-    steps_per_sec = n_steps / dt
+    steps_per_sec = n_calls * n_steps / dt
     vs = steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC if REFERENCE_CPU_STEPS_PER_SEC else None
     print(
         json.dumps(

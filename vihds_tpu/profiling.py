@@ -1,0 +1,55 @@
+"""Profiling hooks: XLA/TPU traces and per-phase wall-clock counters.
+
+The reference has only an ad-hoc cProfile harness
+(reference tests/profile_run.py:41-52) and wall-clock counters
+(vihds/utils.py:50-63).  Here tracing is first-class: pass --profile_dir to
+any CLI (or use the context manager) to capture a jax.profiler trace viewable
+in TensorBoard / Perfetto / xprof.
+"""
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(profile_dir):
+    """Capture a device trace for the enclosed block (no-op when dir is None)."""
+    if not profile_dir:
+        yield
+        return
+    jax.profiler.start_trace(profile_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Blocking wall-clock timing of jitted calls (use sparingly: forces a
+    device sync)."""
+
+    def __init__(self):
+        self.times = []
+
+    @contextlib.contextmanager
+    def measure(self, result_to_block_on=None):
+        t0 = time.perf_counter()
+        yield
+        if result_to_block_on is not None:
+            jax.block_until_ready(result_to_block_on)
+        self.times.append(time.perf_counter() - t0)
+
+    def summary(self):
+        import numpy as np
+
+        t = np.asarray(self.times)
+        if t.size == 0:
+            return {}
+        return {
+            "n": int(t.size),
+            "mean_s": float(t.mean()),
+            "p50_s": float(np.percentile(t, 50)),
+            "p95_s": float(np.percentile(t, 95)),
+        }

@@ -1,0 +1,288 @@
+"""Posterior refinement beyond amortised VI: HMC over the latent parameters
+and an SMC sampler that anneals from the amortised q to the true posterior.
+
+This is the "beyond-parity" capability called out in BASELINE.json's north
+star (the reference stops at the amortised IWAE posterior).  Both samplers:
+
+  * work per-datapoint, vectorised over [B (datapoints), K (chains/particles)]
+    — the same two axes the training step shards over a (data, sample) mesh,
+    so the refinement runs unchanged on 1 chip or a pod slice;
+  * operate in the UNCONSTRAINED space z (LogNormal sites sample log theta),
+    where the prior is exactly Normal(prior_mu, prior_prec) and the Jacobian
+    cancels — no change-of-variable corrections needed;
+  * reuse the decoder (condition -> integrate -> observe -> log-lik) as the
+    likelihood, so any registered model works.
+
+Constant sites stay fixed; TruncatedNormal/Kumaraswamy sites are held at
+their initial draw (refinement currently moves Normal/LogNormal sites, which
+covers every shipped spec).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vihds_tpu.ops.logprob import log_prob_observations
+from vihds_tpu.utils.attrdict import AttrDict
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _sampled_mask(program):
+    """Which theta columns the samplers move."""
+    movable = program.is_normal_family & ~program.is_constant
+    return jnp.asarray(movable.astype(np.float32))
+
+
+def constrain_z(program, z):
+    """Unconstrained z -> constrained theta (exp for LogNormal, fixed for
+    constants)."""
+    theta = jnp.where(program.is_lognormal, jnp.exp(z), z)
+    theta = jnp.where(program.is_constant, program.const_value, theta)
+    return theta
+
+
+def make_log_lik(model, program, params, batch):
+    """log p(x_b | theta_bk) as a pure function of theta[B,K,n]."""
+    n_times = batch.times.shape[0]
+
+    def log_lik(theta):
+        th = program.theta_dict(program.clip(theta, stddevs=4))
+        if model.condition_on_device:
+            th = model.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
+        sol = model.ode_model.simulate(
+            params["dec"], th, batch.times, batch.inputs, batch.dev_1hot, n_iwae=theta.shape[1]
+        )
+        x_states, precisions = model.ode_model.expand_precisions(params["dec"], th, n_times, sol)
+        x_predict = model.ode_model.observe(x_states, th)
+        lp = log_prob_observations(x_predict, batch.observations, precisions, model.use_laplace)
+        return lp.sum(axis=2)  # [B, K]
+
+    return log_lik
+
+
+def _normal_logpdf(z, mu, prec):
+    return -0.5 * LOG2PI + 0.5 * jnp.log(prec) - 0.5 * prec * (z - mu) ** 2
+
+
+def make_log_joint(model, program, params, batch):
+    """log p(x, z) = log p(x | T(z)) + N(z; prior) summed over sampled sites."""
+    log_lik = make_log_lik(model, program, params, batch)
+    mask = _sampled_mask(program)
+    prior_mu = jnp.asarray(program.prior_mu)
+    prior_prec = jnp.asarray(program.prior_prec)
+
+    def log_joint(z):
+        lp_prior = (_normal_logpdf(z, prior_mu, prior_prec) * mask).sum(-1)
+        return log_lik(constrain_z(program, z)) + lp_prior
+
+    return log_joint
+
+
+def init_z_from_q(model, program, params, batch, key, n_samples):
+    """Draw z ~ q in unconstrained space (q's mu/prec parameterise z directly)."""
+    q = model.encoder(params["enc"], batch)
+    u = jax.random.normal(key, (q.mu.shape[0], n_samples, program.n_theta), jnp.float32)
+    sigma = 1.0 / jnp.sqrt(jnp.maximum(q.prec, 1e-12))
+    z = q.mu[:, None, :] + sigma[:, None, :] * u
+    log_q = (_normal_logpdf(z, q.mu[:, None, :], q.prec[:, None, :]) * _sampled_mask(program)).sum(-1)
+    return z, log_q, q
+
+
+# --------------------------------------------------------------------------- #
+# HMC
+# --------------------------------------------------------------------------- #
+def hmc_refine(
+    model,
+    program,
+    params,
+    batch,
+    key,
+    n_chains=32,
+    n_steps=50,
+    n_leapfrog=5,
+    step_scale=0.05,
+    target_accept=0.7,
+):
+    """HMC over z, one chain per (datapoint, sample) pair, initialised at q.
+
+    The mass matrix is the diagonal prior precision, so the per-site step is
+    automatically scaled by the prior sigma; ``step_scale`` seeds a per-chain
+    step size that is Robbins-Monro-adapted toward ``target_accept`` during
+    the first half of the run.  Returns refined theta samples and diagnostics.
+    """
+    log_joint = make_log_joint(model, program, params, batch)
+    grad_log_joint = jax.grad(lambda z: log_joint(z).sum())
+    mask = _sampled_mask(program)
+    prior_prec = jnp.asarray(program.prior_prec)
+    inv_mass = jnp.where(mask > 0, 1.0 / prior_prec, 0.0)
+    base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(prior_prec), 0.0)
+
+    key, k0 = jax.random.split(key)
+    z, _, _ = init_z_from_q(model, program, params, batch, k0, n_chains)
+    n_warmup = n_steps // 2
+
+    def leapfrog(z, p, step):
+        g = grad_log_joint(z) * mask
+        p = p + 0.5 * step * g
+        for _ in range(n_leapfrog - 1):
+            z = z + step * inv_mass * p
+            g = grad_log_joint(z) * mask
+            p = p + step * g
+        z = z + step * inv_mass * p
+        p = p + 0.5 * step * (grad_log_joint(z) * mask)
+        return z, p
+
+    def one_step(carry, inp):
+        z, log_eps, n_accept = carry
+        key_t, t = inp
+        k_mom, k_acc = jax.random.split(key_t)
+        step = jnp.exp(log_eps)[:, :, None] * base_step  # per-chain step
+        p = jax.random.normal(k_mom, z.shape) * jnp.sqrt(prior_prec) * mask
+        lj0 = log_joint(z)
+        ke0 = 0.5 * (p ** 2 * inv_mass).sum(-1)
+        z_new, p_new = leapfrog(z, p, step)
+        lj1 = log_joint(z_new)
+        ke1 = 0.5 * (p_new ** 2 * inv_mass).sum(-1)
+        log_alpha = jnp.nan_to_num((lj1 - ke1) - (lj0 - ke0), nan=-jnp.inf)
+        alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
+        accept = jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha
+        z = jnp.where(accept[:, :, None], z_new, z)
+        # Robbins-Monro adaptation during warmup
+        adapt = (t < n_warmup).astype(jnp.float32)
+        log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
+        counted = (t >= n_warmup).astype(jnp.float32)
+        return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), lj0.mean()
+
+    keys = jax.random.split(key, n_steps)
+    # Per-chain initial step scaled by the local gradient magnitude: a unit
+    # leapfrog displacement should perturb the energy by O(1) even from the
+    # crude amortised initialisation, where |grad log p| can be astronomical.
+    g0 = grad_log_joint(z) * mask
+    g_scale = jnp.sqrt(jnp.sum((g0 * base_step) ** 2, axis=-1))  # [B, K]
+    log_eps0 = jnp.log(step_scale) - jnp.log1p(g_scale)
+    (z, log_eps, n_accept), lj_trace = jax.lax.scan(
+        one_step, (z, log_eps0, jnp.zeros(z.shape[:2])), (keys, jnp.arange(n_steps))
+    )
+    return AttrDict(
+        theta=constrain_z(program, z),
+        z=z,
+        accept_rate=n_accept / max(n_steps - n_warmup, 1),
+        step_size=jnp.exp(log_eps),
+        log_joint=log_joint(z),
+        log_joint_trace=lj_trace,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# SMC
+# --------------------------------------------------------------------------- #
+def _systematic_resample(key, log_w):
+    """Systematic resampling indices for one datapoint's particles [K]."""
+    K = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    pts = (u0 + jnp.arange(K)) / K
+    return jnp.searchsorted(cdf, pts)
+
+
+def smc_refine(
+    model,
+    program,
+    params,
+    batch,
+    key,
+    n_particles=64,
+    n_temps=10,
+    n_moves=1,
+    n_leapfrog=3,
+    step_scale=0.05,
+    ess_threshold=0.5,
+):
+    """Annealed SMC from the amortised q to the posterior.
+
+    Bridging targets pi_beta  ~  q(z)^(1-beta) [p(z) p(x|T(z))]^beta with a
+    linear beta ladder; systematic resampling when ESS < threshold*K; HMC
+    moves targeting pi_beta after each reweighting.  Also returns an unbiased
+    log-evidence estimate per datapoint (the SMC normalising-constant
+    telescope) — a quantity the reference cannot produce at all.
+    """
+    log_joint = make_log_joint(model, program, params, batch)
+    mask = _sampled_mask(program)
+    prior_prec = jnp.asarray(program.prior_prec)
+    inv_mass = jnp.where(mask > 0, 1.0 / prior_prec, 0.0)
+    step0 = step_scale * jnp.where(mask > 0, 1.0 / jnp.sqrt(prior_prec), 0.0)
+
+    key, k0 = jax.random.split(key)
+    z, _, q = init_z_from_q(model, program, params, batch, k0, n_particles)
+    q_mu = q.mu[:, None, :]
+    q_prec = q.prec[:, None, :]
+
+    def log_q_z(z):
+        return (_normal_logpdf(z, q_mu, q_prec) * mask).sum(-1)
+
+    def log_pi(z, beta):
+        return beta * log_joint(z) + (1.0 - beta) * log_q_z(z)
+
+    grad_log_pi = jax.grad(lambda z, beta: log_pi(z, beta).sum(), argnums=0)
+
+    def hmc_move(z, beta, key_t):
+        k_mom, k_acc = jax.random.split(key_t)
+        step = step0
+        p = jax.random.normal(k_mom, z.shape) * jnp.sqrt(prior_prec) * mask
+        lj0 = log_pi(z, beta)
+        ke0 = 0.5 * (p ** 2 * inv_mass).sum(-1)
+        g = grad_log_pi(z, beta) * mask
+        p_h = p + 0.5 * step * g
+        z_n = z
+        for _ in range(n_leapfrog - 1):
+            z_n = z_n + step * inv_mass * p_h
+            p_h = p_h + step * (grad_log_pi(z_n, beta) * mask)
+        z_n = z_n + step * inv_mass * p_h
+        p_h = p_h + 0.5 * step * (grad_log_pi(z_n, beta) * mask)
+        lj1 = log_pi(z_n, beta)
+        ke1 = 0.5 * (p_h ** 2 * inv_mass).sum(-1)
+        accept = jnp.log(jax.random.uniform(k_acc, lj0.shape)) < (lj1 - ke1) - (lj0 - ke0)
+        return jnp.where(accept[:, :, None], z_n, z), accept
+
+    betas = jnp.linspace(0.0, 1.0, n_temps + 1)
+
+    def temp_step(carry, inp):
+        z, log_w, log_Z = carry
+        beta_prev, beta, key_t = inp
+        # incremental weights: pi_beta / pi_beta_prev = [p(x,z)/q(z)]^(beta-beta_prev)
+        incr = (beta - beta_prev) * (log_joint(z) - log_q_z(z))
+        log_w = log_w + incr
+        # normalise + record evidence increment
+        lse = jax.scipy.special.logsumexp(log_w, axis=1, keepdims=True)
+        log_Z = log_Z + lse[:, 0] - math.log(z.shape[1])
+        log_w_n = log_w - lse
+        ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_w_n), axis=1)  # [B]
+        k_res, *k_moves = jax.random.split(key_t, 1 + n_moves)
+        need = ess < ess_threshold * z.shape[1]
+        idx = jax.vmap(_systematic_resample)(jax.random.split(k_res, z.shape[0]), log_w_n)
+        z_res = jnp.take_along_axis(z, idx[:, :, None], axis=1)
+        z = jnp.where(need[:, None, None], z_res, z)
+        log_w = jnp.where(need[:, None], jnp.zeros_like(log_w), log_w - lse)
+        acc_sum = jnp.zeros(z.shape[:2])
+        for k_m in k_moves:
+            z, acc = hmc_move(z, beta, k_m)
+            acc_sum = acc_sum + acc
+        return (z, log_w, log_Z), (ess, acc_sum.mean() / max(n_moves, 1))
+
+    keys = jax.random.split(key, n_temps)
+    init = (z, jnp.zeros(z.shape[:2]), jnp.zeros(z.shape[0]))
+    (z, log_w, log_Z), (ess_trace, acc_trace) = jax.lax.scan(
+        temp_step, init, (betas[:-1], betas[1:], keys)
+    )
+    return AttrDict(
+        theta=constrain_z(program, z),
+        z=z,
+        log_w=log_w,
+        log_evidence=log_Z,
+        ess_trace=ess_trace,
+        accept_trace=acc_trace,
+    )

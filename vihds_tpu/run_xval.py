@@ -66,6 +66,12 @@ def create_parser(with_split: bool):
         default=None,
         help="Path to a checkpoints directory to resume training from",
     )
+    parser.add_argument(
+        "--profile_dir",
+        type=str,
+        default=None,
+        help="Capture a jax.profiler device trace of one post-compile epoch into this directory",
+    )
     if with_split:
         group = parser.add_mutually_exclusive_group()
         group.add_argument("--heldout", type=str, help="name of held-out device, e.g. R33S32_Y81C76")

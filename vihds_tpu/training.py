@@ -216,6 +216,28 @@ class Training:
             params = optax.apply_updates(params, updates)
             return params, opt_state, -loss
 
+        def train_epoch(params, opt_state, key, observations, inputs, dev_1hot, times, masks):
+            """All of an epoch's batches in ONE device dispatch: lax.scan over
+            the stacked [n_batches, B, ...] arrays.  This removes the per-step
+            host round-trip that dominates wall-clock for models this small
+            (the reference pays a full Python solver loop per batch,
+            vihds/solvers.py:9-17)."""
+
+            def body(carry, inp):
+                params, opt_state, key = carry
+                obs, inp_t, dev, mask = inp
+                key, sub = jax.random.split(key)
+                batch = AttrDict(observations=obs, inputs=inp_t, dev_1hot=dev, times=times)
+                loss, grads = vag(params, batch, mask, sub)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), -loss
+
+            (params, opt_state, key), elbos = jax.lax.scan(
+                body, (params, opt_state, key), (observations, inputs, dev_1hot, masks)
+            )
+            return params, opt_state, key, elbos
+
         def eval_step(params, batch, mask, key, n_samples):
             u = model.sample_u(key, batch.observations.shape[0], n_samples)
             out = model.forward(params, batch, u)
@@ -237,13 +259,22 @@ class Training:
             )
 
         if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from vihds_tpu.parallel import shard_step
 
             self._train_step = shard_step(train_step, self.mesh)
-            self._eval_step = jax.jit(eval_step, static_argnames=("n_samples",))
+            repl = NamedSharding(self.mesh, P())
+            stacked = NamedSharding(self.mesh, P(None, "data"))
+            self._train_epoch = jax.jit(
+                train_epoch,
+                in_shardings=(repl, repl, repl, stacked, stacked, stacked, repl, stacked),
+                donate_argnums=(0, 1),
+            )
         else:
             self._train_step = jax.jit(train_step)
-            self._eval_step = jax.jit(eval_step, static_argnames=("n_samples",))
+            self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step, static_argnames=("n_samples",))
 
     # ------------------------------------------------------------------- eval
     def _eval_full(self, params, host_data, n_samples, key, chunk=None):
@@ -289,12 +320,27 @@ class Training:
         return res
 
     def _update_summaries(self, writer, epoch, merged):
-        """TensorBoard scalars (parity: vihds/training.py:176-210)."""
+        """TensorBoard scalars (parity: vihds/training.py:176-210 plus the
+        per-distribution q summaries of ChainedDistribution.attach_summaries,
+        reference vihds/distributions.py:156-159, 356-362)."""
         if writer is None:
             return
         from vihds_tpu.utils import variable_summaries
 
         plot_histograms = self.settings.params.plot_histograms
+        prog = self.program
+        n_var = len(prog.sites.local) + len(prog.sites.global_cond)
+        for i, site in enumerate(prog.sites.ordered):
+            if bool(prog.is_constant[i]):
+                continue
+            if i < n_var:
+                variable_summaries(writer, epoch, merged.q_mu[:, i], site.name + ".mu", plot_histograms)
+                variable_summaries(
+                    writer, epoch, merged.q_prec[:, i], site.name + ".prec", plot_histograms
+                )
+            else:
+                writer.add_scalar("%s/mu" % site.name, float(merged.q_mu[:, i].mean()), epoch)
+                writer.add_scalar("%s/prec" % site.name, float(merged.q_prec[:, i].mean()), epoch)
         log_w = merged.log_w
         lse = merged.per_item_elbo + math.log(log_w.shape[1])
         normed = np.exp(log_w - lse[:, None])
@@ -422,31 +468,39 @@ class Training:
         valid_output = None
         iterating = True
         epoch = start_epoch
+        n_batches = math.ceil(n_train / self.n_batch)
         while iterating and (epoch < self.args.epochs + 1):
             epoch_start = time.time()
             perm = rng.permutation(n_train)
-            epoch_elbos = []
-            for start in range(0, n_train, self.n_batch):
-                idx = perm[start : start + self.n_batch]
-                pad = self.n_batch - len(idx)
-                mask = np.ones(self.n_batch, np.float32)
-                if pad:
-                    mask[len(idx) :] = 0.0
-                    idx = np.concatenate([idx, np.zeros(pad, int)])
-                batch = AttrDict(
-                    observations=jnp.asarray(train_host.observations[idx]),
-                    inputs=jnp.asarray(train_host.inputs[idx]),
-                    dev_1hot=jnp.asarray(train_host.dev_1hot[idx]),
-                    times=times,
+            pad_total = n_batches * self.n_batch - n_train
+            masks = np.ones(n_batches * self.n_batch, np.float32)
+            if pad_total:
+                masks[n_train:] = 0.0
+                perm = np.concatenate([perm, np.zeros(pad_total, int)])
+            idx = perm.reshape(n_batches, self.n_batch)
+            masks = masks.reshape(n_batches, self.n_batch)
+            # Trace one post-compile epoch when profiling was requested
+            profile_dir = getattr(self.args, "profile_dir", None)
+            do_trace = profile_dir and epoch == start_epoch + 1
+            from vihds_tpu import profiling
+
+            with profiling.trace(profile_dir if do_trace else None):
+                # One device dispatch for the whole epoch (scan over batches)
+                params, opt_state, key, epoch_elbos = self._train_epoch(
+                    params,
+                    opt_state,
+                    key,
+                    jnp.asarray(train_host.observations[idx]),
+                    jnp.asarray(train_host.inputs[idx]),
+                    jnp.asarray(train_host.dev_1hot[idx]),
+                    times,
+                    jnp.asarray(masks),
                 )
-                key, sub = jax.random.split(key)
-                params, opt_state, elbo = self._train_step(
-                    params, opt_state, batch, jnp.asarray(mask), sub
-                )
-                epoch_elbos.append(elbo)
+                if do_trace:
+                    jax.block_until_ready(epoch_elbos)
             # NaN abort, checked once per epoch (capability parity with
             # vihds/training.py:331-333 without a per-batch device sync)
-            epoch_elbos = np.asarray(jnp.stack(epoch_elbos))
+            epoch_elbos = np.asarray(epoch_elbos)
             if not np.isfinite(epoch_elbos).all():
                 print("Cannot proceed with ELBO = nan. Exiting.")
                 iterating = False
