@@ -1,0 +1,76 @@
+"""Feature coverage: heldout-device splits (declared-but-unimplemented in the
+reference, vihds/datasets.py:200-206), Laplace observation model, spec
+defaults plumbing."""
+
+import numpy as np
+import jax
+import pytest
+
+from tests.conftest import make_args, spec
+from vihds_tpu.config import Config
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import batch_arrays, iwae_elbo, iwae_elbo_terms
+from vihds_tpu.vae import VAE
+
+
+def test_heldout_device_split():
+    args = make_args(spec("dr_constant_icml.yaml"))
+    args.heldout = "R33S32_Y81C76"
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    held_idx = int(settings.data.device_map["R33S32_Y81C76"])
+    # validation set is exactly the held-out device's series
+    assert (data.test.dataset.devices[data.test.indices] == held_idx).all()
+    assert (data.train.dataset.devices[data.train.indices] != held_idx).all()
+    assert data.n_train + data.n_test == 312
+
+
+def test_heldout_unknown_device_raises():
+    args = make_args(spec("dr_constant_icml.yaml"))
+    args.heldout = "NotADevice"
+    settings = Config(args)
+    with pytest.raises(ValueError):
+        build_datasets(args, settings)
+
+
+def test_laplace_observation_model():
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    settings.params.use_laplace = True
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    assert model.use_laplace is True
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = batch_arrays(data.train.dataset.select(np.arange(4)))
+
+    def loss(params):
+        u = model.sample_u(jax.random.PRNGKey(1), 4, 3)
+        out = model.forward(params, batch, u)
+        return -iwae_elbo(iwae_elbo_terms(program, out, batch, True))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_defaults_table():
+    """Hyper-parameter defaults parity (reference vihds/config.py:56-88)."""
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    p = settings.params
+    assert p.n_filters == 10 and p.filter_size == 10 and p.pool_size == 5
+    assert p.n_hidden == 50 and p.n_batch == 36
+    assert p.solver == "midpoint"
+    assert p.transfer_func == "tanh"
+    # spec overrides win over defaults
+    assert p.learning_boundaries == [250, 1000]
+    assert p.learning_rate == 0.01
+
+
+def test_precision_hidden_layers_cli_override():
+    args = make_args(spec("dr_constant_precisions.yaml"))
+    args.precision_hidden_layers = 0
+    settings = Config(args)
+    assert settings.params.n_hidden_decoder_precisions == 0

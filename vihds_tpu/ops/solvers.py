@@ -63,8 +63,13 @@ FIXED_GRID_SOLVERS = {
 ADAPTIVE_SOLVERS = ("dopri5", "dopri8")
 
 
-def integrate_fixed(rhs, y0, times, method="midpoint", checkpoint=False):
-    """Scan the chosen one-step method over the (possibly non-uniform) grid."""
+def integrate_fixed(rhs, y0, times, method="midpoint", checkpoint=False, unroll=4):
+    """Scan the chosen one-step method over the (possibly non-uniform) grid.
+
+    ``unroll`` trades a little compile time for fused multi-step loop bodies —
+    at these state sizes the scan's per-iteration overhead is comparable to
+    the step's compute, so fusing several steps per iteration is a real win.
+    """
     step_fn = FIXED_GRID_SOLVERS[method]
 
     def step(y, ts):
@@ -74,7 +79,7 @@ def integrate_fixed(rhs, y0, times, method="midpoint", checkpoint=False):
 
     if checkpoint:
         step = jax.checkpoint(step)
-    _, ys = lax.scan(step, y0, (times[:-1], times[1:]))
+    _, ys = lax.scan(step, y0, (times[:-1], times[1:]), unroll=unroll)
     return jnp.concatenate([y0[None], ys], axis=0)
 
 

@@ -80,7 +80,10 @@ def dreg_value_and_grad(model, program, n_samples, use_laplace):
 
         def fwd(params):
             u = model.sample_u(key, B, n_samples)
-            out = model.forward(params, batch, u)
+            # remat the solver steps: the backward otherwise streams ~24MB of
+            # per-step residuals through HBM with layout-converting copies —
+            # recomputing the RHS is 2.5x faster on v5e (see BASELINE.md)
+            out = model.forward(params, batch, u, checkpoint=True)
             log_p_by_species = log_prob_observations(
                 out.x_predict, batch.observations, out.precisions, use_laplace
             )
@@ -199,7 +202,9 @@ class Training:
 
         def loss_fn(params, batch, mask, key):
             u = model.sample_u(key, batch.observations.shape[0], n_train_samples)
-            out = model.forward(params, batch, u)
+            # checkpoint=True: recompute solver steps in backward (2.5x faster
+            # than storing residuals at these shapes; identical numerics)
+            out = model.forward(params, batch, u, checkpoint=True)
             terms = iwae_elbo_terms(program, out, batch, use_laplace)
             elbo = iwae_elbo(terms, mask)
             return -elbo
