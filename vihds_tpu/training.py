@@ -257,7 +257,7 @@ class Training:
                 log_p_by_species=terms.log_p_by_species,
                 log_q=terms.log_q,
                 log_p=terms.log_p,
-                theta=jnp.transpose(out.theta, (2, 0, 1)),  # [n_theta, B, K]
+                theta=jnp.transpose(out.theta_clipped, (2, 0, 1)),  # [n_theta, B, K]
                 q_mu=out.q.mu,
                 q_prec=out.q.prec,
                 **iw,

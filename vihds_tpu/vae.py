@@ -62,6 +62,15 @@ class VAE:
         """
         q = self.encoder(params["enc"], batch)
         theta = self.program.sample(q, u)
+        # Clip feeds the DECODER only (numerical protection for the ODE).
+        # The IWAE weight evaluates log q / log p at the *sampled* theta: the
+        # reference evaluates both at the clipped value (vihds/vae.py:34,
+        # training.py:136-137), which leaves a runaway exploit — the encoder
+        # can push its mean past the +-4 sigma clip bound, pinning theta at
+        # the bound while -log q grows without limit (observed in practice:
+        # ELBO -> +1e7 on dr_constant_one).  With log q at the sampled theta
+        # the two formulations are identical whenever clipping is inactive
+        # (any sample within +-4 prior sigmas) and the exploit is gone.
         clipped = self.program.clip(theta, stddevs=4)
         th = self.program.theta_dict(clipped)
         if self.condition_on_device:
@@ -83,7 +92,8 @@ class VAE:
             x_states=x_states,
             x_predict=x_predict,
             precisions=precisions,
-            theta=clipped,
+            theta=theta,  # sampled (unclipped): what log q / log p score
+            theta_clipped=clipped,  # what the decoder integrated
             theta_cond=th,
             q=q,
         )
