@@ -243,25 +243,42 @@ class Training:
             )
             return params, opt_state, key, elbos
 
-        def eval_step(params, batch, mask, key, n_samples):
+        def eval_step(params, batch, mask, key, n_samples, with_theta=True):
             u = model.sample_u(key, batch.observations.shape[0], n_samples)
             out = model.forward(params, batch, u)
             terms = iwae_elbo_terms(program, out, batch, use_laplace)
             lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
             per_item_elbo = lse - math.log(n_samples)
             iw = _importance_weighted_outputs(terms, out)
-            return AttrDict(
+            res = AttrDict(
                 per_item_elbo=per_item_elbo,
-                log_w=terms.log_w,
-                log_p_obs=terms.log_p_obs,
+                # one packed [4, B, K] transfer instead of four (the tunnel
+                # charges per-array latency, not just bandwidth)
+                bk_stats=jnp.stack([terms.log_w, terms.log_p_obs, terms.log_q, terms.log_p]),
                 log_p_by_species=terms.log_p_by_species,
-                log_q=terms.log_q,
-                log_p=terms.log_p,
-                theta=jnp.transpose(out.theta_clipped, (2, 0, 1)),  # [n_theta, B, K]
                 q_mu=out.q.mu,
                 q_prec=out.q.prec,
                 **iw,
             )
+            if with_theta:
+                # natural [B, K, n] layout — transposing on device forces a
+                # relayout program (observed: 36 s first-transfer compile);
+                # the host reshapes for free
+                res["theta_bkn"] = out.theta_clipped
+            return res
+
+        def eval_split(params, observations, inputs, dev_1hot, times, key, n_samples, with_theta):
+            """All chunks of a split in ONE dispatch (lax.map over stacked
+            [n_chunks, chunk, ...] arrays) so the host pays each transfer's
+            tunnel latency once per split, not once per chunk."""
+            keys = jax.random.split(key, observations.shape[0])
+
+            def one(inp):
+                obs, inp_t, dev, k = inp
+                batch = AttrDict(observations=obs, inputs=inp_t, dev_1hot=dev, times=times)
+                return eval_step(params, batch, None, k, n_samples, with_theta)
+
+            return jax.lax.map(one, (observations, inputs, dev_1hot, keys))
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -279,35 +296,46 @@ class Training:
         else:
             self._train_step = jax.jit(train_step)
             self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(eval_step, static_argnames=("n_samples",))
+        self._eval_step = jax.jit(eval_step, static_argnames=("n_samples", "with_theta"))
+        self._eval_split = jax.jit(eval_split, static_argnames=("n_samples", "with_theta"))
 
     # ------------------------------------------------------------------- eval
-    def _eval_full(self, params, host_data, n_samples, key, chunk=None):
-        """Chunked full-split evaluation; IWAE is exact under data-chunking."""
+    def _eval_full(self, params, host_data, n_samples, key, chunk=None, with_theta=True):
+        """Chunked full-split evaluation; IWAE is exact under data-chunking.
+
+        ``with_theta=False`` skips the (largest) per-sample theta transfer —
+        used for the train-split diagnostics, which never persist theta."""
         n = host_data.observations.shape[0]
         chunk = chunk or self.n_batch
-        outs = []
-        for start in range(0, n, chunk):
-            idx = np.arange(start, min(start + chunk, n))
-            pad = chunk - len(idx)
-            idx_p = np.concatenate([idx, np.zeros(pad, int)]) if pad else idx
-            b = AttrDict(
-                observations=jnp.asarray(host_data.observations[idx_p]),
-                inputs=jnp.asarray(host_data.inputs[idx_p]),
-                dev_1hot=jnp.asarray(host_data.dev_1hot[idx_p]),
-                times=jnp.asarray(host_data.times),
-            )
-            key, sub = jax.random.split(key)
-            o = self._eval_step(params, b, None, sub, n_samples)
-            o = jax.tree_util.tree_map(np.asarray, dict(o))
-            if pad:
-                for k, v in o.items():
-                    o[k] = v[:, : len(idx)] if k == "theta" else v[: len(idx)]
-            outs.append(o)
+        n_chunks = math.ceil(n / chunk)
+        idx = np.concatenate([np.arange(n), np.zeros(n_chunks * chunk - n, int)])
+        idx = idx.reshape(n_chunks, chunk)
+        stacked = self._eval_split(
+            params,
+            jnp.asarray(host_data.observations[idx]),
+            jnp.asarray(host_data.inputs[idx]),
+            jnp.asarray(host_data.dev_1hot[idx]),
+            jnp.asarray(host_data.times),
+            key,
+            n_samples,
+            with_theta,
+        )
+        stacked = jax.tree_util.tree_map(np.asarray, dict(stacked))
         merged = AttrDict()
-        for k in outs[0]:
-            axis = 1 if k == "theta" else 0
-            merged[k] = np.concatenate([o[k] for o in outs], axis=axis)
+        for k, v in stacked.items():
+            # [n_chunks, (4,)? chunk, ...] -> flatten the chunk axes, trim pad
+            if k == "bk_stats":
+                v = np.moveaxis(v, 1, 0).reshape(4, n_chunks * chunk, *v.shape[3:])[:, :n]
+            else:
+                v = v.reshape(n_chunks * chunk, *v.shape[2:])[:n]
+            merged[k] = v
+        log_w, log_p_obs, log_q, log_p = merged.pop("bk_stats")
+        merged["log_w"] = log_w
+        merged["log_p_obs"] = log_p_obs
+        merged["log_q"] = log_q
+        merged["log_p"] = log_p
+        if with_theta:
+            merged["theta"] = np.transpose(merged.pop("theta_bkn"), (2, 0, 1))
         merged["elbo"] = float(np.mean(merged["per_item_elbo"]))
         return merged
 
@@ -318,7 +346,7 @@ class Training:
             self.program,
             merged.q_mu,
             merged.q_prec,
-            merged.theta,
+            merged.get("theta", np.zeros((self.program.n_theta, 0, 0), np.float32)),
             merged.elbo,
             {k: merged[k] for k in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance")},
         )
@@ -374,7 +402,12 @@ class Training:
         plot = (self.args.plot_epoch > 0) and (np.mod(epoch, self.args.plot_epoch) == 0)
 
         k1, k2 = jax.random.split(key)
-        train_merged = self._eval_full(params, self.train_data, self.args.train_samples, k1)
+        # train-split diagnostics never persist theta; skip its transfer
+        # unless the weighted-theta figure needs it
+        want_theta_plot = bool(getattr(self.settings.params, "theta_columns", None)) and plot
+        train_merged = self._eval_full(
+            params, self.train_data, self.args.train_samples, k1, with_theta=want_theta_plot
+        )
         self._update_summaries(train_writer, epoch, train_merged)
         train_output = self._make_results(train_merged)
         print(
@@ -398,6 +431,10 @@ class Training:
             plotting_hooks.eval_plots(
                 self, valid_writer, epoch, self.valid_data, valid_output, dynamic=self.model.ode_model.precisions.dynamic
             )
+            if want_theta_plot:
+                plotting_hooks.weighted_theta_plot(
+                    self, valid_writer, epoch, train_merged, valid_merged
+                )
         log_data.total_test_time += time.time() - test_start
         print(
             " | val (iwae-elbo = %0.4f, time = %0.2f, total = %0.2f)"
