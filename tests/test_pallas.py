@@ -1,0 +1,81 @@
+"""Pallas fused integrator: interpret-mode equivalence with the XLA scan path
+(real-TPU execution is exercised by bench/eval on hardware)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import make_args, spec
+from vihds_tpu.config import Config
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.models.dr_constant import _dr_constants
+from vihds_tpu.ops import pallas_ode
+from vihds_tpu.ops.solvers import integrate
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import batch_arrays
+from vihds_tpu.vae import VAE
+
+
+@pytest.fixture(scope="module")
+def setup():
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = batch_arrays(data.train.dataset.select(np.arange(3)))
+    q = model.encoder(params["enc"], batch)
+    u = model.sample_u(jax.random.PRNGKey(1), 3, 4)
+    theta = program.clip(program.sample(q, u), stddevs=4)
+    th = program.theta_dict(theta)
+    return model, params, batch, th
+
+
+@pytest.mark.parametrize("method", ["midpoint", "modeuler", "rk4"])
+def test_pallas_matches_scan(setup, method):
+    model, params, batch, th = setup
+    ode = model.ode_model
+    c = _dr_constants(th, batch.inputs, 1)
+    y0 = jnp.broadcast_to(
+        ode.initialize_state(params["dec"], th, batch.inputs, 3, 4), (3, 4, 8)
+    )
+    rhs = ode.make_rhs(params["dec"], th, batch.inputs, batch.dev_1hot)
+    ref = np.asarray(integrate(rhs, y0, batch.times, method=method))
+    got = np.asarray(
+        pallas_ode.dr_constant_simulate(
+            c, y0, batch.times, method=method, block_rows=8, interpret=True
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_solver_routing(setup):
+    """solver: pallas_midpoint routes through the kernel end-to-end."""
+    model, params, batch, th = setup
+    ode = model.ode_model
+    old = ode.solver
+    try:
+        ode.solver = "pallas_midpoint"
+        import vihds_tpu.ops.pallas_ode as pk
+
+        orig = pk.dr_constant_simulate
+        calls = {}
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        pk.dr_constant_simulate = spy
+        try:
+            sol = ode.simulate(params["dec"], th, batch.times, batch.inputs, batch.dev_1hot, 4)
+        finally:
+            pk.dr_constant_simulate = orig
+        assert calls.get("hit"), "pallas path not taken"
+        assert sol.shape == (3, 4, 8, batch.times.shape[0])
+        assert np.isfinite(np.asarray(sol)).all()
+    finally:
+        ode.solver = old

@@ -130,6 +130,26 @@ class DR_Constant(OdeModel):
 
         return rhs
 
+    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False):
+        """Route ``solver: pallas_<method>`` to the fused VMEM-resident Pallas
+        integrator (forward-only; constant-precision variants)."""
+        if self.solver.startswith("pallas_") and not self.precisions.dynamic:
+            from vihds_tpu.ops import pallas_ode
+
+            n_batch = treatments.shape[0]
+            c = _dr_constants(theta, treatments, self.version)
+            y0 = jnp.broadcast_to(
+                self.initialize_state(params, theta, treatments, n_batch, n_iwae),
+                (n_batch, n_iwae, self.n_species),
+            )
+            sol = pallas_ode.dr_constant_simulate(
+                c, y0, times, method=self.solver[len("pallas_"):]
+            )
+            return jnp.transpose(sol, (1, 2, 3, 0))
+        return super().simulate(
+            params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=checkpoint
+        )
+
 
 class DR_Constant_V2(DR_Constant):
     version = 2

@@ -178,18 +178,26 @@ class Training:
         self.train_data = data.train.batch()
         self.valid_data = data.test.batch()
 
+        held_out_name = getattr(args, "heldout", None) or "%d_of_%d" % (
+            getattr(args, "split", 1),
+            args.folds,
+        )
         if settings.trainer is not None:
-            held_out_name = getattr(args, "heldout", None) or "%d_of_%d" % (
-                args.split,
-                args.folds,
-            )
             self.train_path = os.path.join(settings.trainer.tb_log_dir, "train_%s" % held_out_name)
             self.valid_path = os.path.join(settings.trainer.tb_log_dir, "valid_%s" % held_out_name)
             os.makedirs(self.train_path, exist_ok=True)
             os.makedirs(self.valid_path, exist_ok=True)
+            # Best-val cache is per experiment AND per fold.  The reference
+            # uses one fixed global ".vihds_cache" for every run and fold
+            # (vihds/utils.py:101,131) — concurrent or consecutive experiments
+            # silently cross-contaminate each other's "best" results.
+            self.cache_dir = os.path.join(
+                settings.trainer.tb_log_dir, ".vihds_cache_%s" % held_out_name
+            )
         else:
             self.train_path = None
             self.valid_path = None
+            self.cache_dir = ".vihds_cache"
         self.empty_cache = True
 
         self._build_steps()
@@ -447,7 +455,7 @@ class Training:
 
         if valid_merged.elbo > log_data.max_val_elbo:
             log_data.max_val_elbo = valid_merged.elbo
-            valid_output.dump()
+            valid_output.dump(self.cache_dir)
             self.empty_cache = False
 
         log_data.training_elbo_list.append(train_merged.elbo)
@@ -511,24 +519,40 @@ class Training:
         iterating = True
         epoch = start_epoch
         n_batches = math.ceil(n_train / self.n_batch)
+        pad_total = n_batches * self.n_batch - n_train
+        profile_dir = getattr(self.args, "profile_dir", None)
+        traced = False
+
+        def next_boundary(e):
+            """Largest epoch chunk [e, b] that crosses no eval/checkpoint/end
+            boundary — all of it runs in ONE device dispatch."""
+            te = self.args.test_epoch
+            cands = [self.args.epochs, ((e - 1) // te + 1) * te]
+            if ckpt_every:
+                cands.append(((e - 1) // ckpt_every + 1) * ckpt_every)
+            return min(cands)
+
         while iterating and (epoch < self.args.epochs + 1):
             epoch_start = time.time()
-            perm = rng.permutation(n_train)
-            pad_total = n_batches * self.n_batch - n_train
-            masks = np.ones(n_batches * self.n_batch, np.float32)
+            end_epoch = next_boundary(epoch)
+            n_ep = end_epoch - epoch + 1
+            # Stack n_ep epochs' shuffled, padded batches: [n_ep*NB, B] index
+            # grid -> one lax.scan dispatch covers every step up to the next
+            # eval/checkpoint boundary (host+tunnel overhead is ~25x the
+            # device compute per epoch otherwise — see BASELINE.md).
+            perms = np.stack([rng.permutation(n_train) for _ in range(n_ep)])
+            masks = np.ones((n_ep, n_batches * self.n_batch), np.float32)
             if pad_total:
-                masks[n_train:] = 0.0
-                perm = np.concatenate([perm, np.zeros(pad_total, int)])
-            idx = perm.reshape(n_batches, self.n_batch)
-            masks = masks.reshape(n_batches, self.n_batch)
-            # Trace one post-compile epoch when profiling was requested
-            profile_dir = getattr(self.args, "profile_dir", None)
-            do_trace = profile_dir and epoch == start_epoch + 1
+                masks[:, n_train:] = 0.0
+                perms = np.concatenate([perms, np.zeros((n_ep, pad_total), int)], axis=1)
+            idx = perms.reshape(n_ep * n_batches, self.n_batch)
+            masks = masks.reshape(n_ep * n_batches, self.n_batch)
+
             from vihds_tpu import profiling
 
+            do_trace = bool(profile_dir) and not traced and epoch > start_epoch
             with profiling.trace(profile_dir if do_trace else None):
-                # One device dispatch for the whole epoch (scan over batches)
-                params, opt_state, key, epoch_elbos = self._train_epoch(
+                params, opt_state, key, chunk_elbos = self._train_epoch(
                     params,
                     opt_state,
                     key,
@@ -539,13 +563,15 @@ class Training:
                     jnp.asarray(masks),
                 )
                 if do_trace:
-                    jax.block_until_ready(epoch_elbos)
-            # NaN abort, checked once per epoch (capability parity with
-            # vihds/training.py:331-333 without a per-batch device sync)
-            epoch_elbos = np.asarray(epoch_elbos)
-            if not np.isfinite(epoch_elbos).all():
+                    jax.block_until_ready(chunk_elbos)
+                    traced = True
+            # NaN abort at chunk granularity (capability parity with
+            # vihds/training.py:331-333 without per-batch device syncs)
+            chunk_elbos = np.asarray(chunk_elbos)
+            if not np.isfinite(chunk_elbos).all():
                 print("Cannot proceed with ELBO = nan. Exiting.")
                 iterating = False
+            epoch = end_epoch
             log_data.total_train_time += time.time() - epoch_start
             if iterating and np.mod(epoch, self.args.test_epoch) == 0:
                 key, sub = jax.random.split(key)
@@ -563,7 +589,7 @@ class Training:
         if self.empty_cache:
             print("Exiting with no results in cache")
             return None
-        valid_output.load()
+        valid_output.load(self.cache_dir)
         valid_output.elbo_list = log_data.validation_elbo_list
         return valid_output
 

@@ -41,6 +41,14 @@ class XvalMerge:
             self.q_names = val_results.q_names
             self.species_names = val_results.species_names
             self.times = data_pair.train.dataset.times
+        # fail loudly on cross-experiment contamination of fold results
+        n_times = len(data_pair.train.dataset.times)
+        got = np.shape(val_results.iw_predict_mu)
+        if got[-1] != n_times or got[0] != data_pair.n_test:
+            raise ValueError(
+                "fold %d results have shape %s but the dataset is [%d test x T=%d] — "
+                "stale best-val cache?" % (split_idx, got, data_pair.n_test, n_times)
+            )
         self.elbo.append(val_results.elbo)
         self.elbo_list.append(val_results.elbo_list)
         self.q_values.append(val_results.q_values)
