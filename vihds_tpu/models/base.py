@@ -157,6 +157,10 @@ class OdeModel:
         self.relevance = config.data.relevance_vectors
         self.default_devices = config.data.default_devices
         self.solver = config.params.solver
+        # Optional separate solver for the (forward-only) evaluation path —
+        # e.g. 'pallas_midpoint' routes supported models through the fused
+        # VMEM-resident Pallas integrator (2.3x the XLA scan forward on v5e).
+        self.eval_solver = default_get_value(config.params, "eval_solver", None)
         self.adjoint = bool(config.params.adjoint_solver)
         self.precisions = None
         self.species = None
@@ -201,14 +205,24 @@ class OdeModel:
     def make_rhs(self, params, theta, treatments, dev_1hot):
         raise NotImplementedError
 
-    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False):
+    def _solver_for(self, eval_mode):
+        if eval_mode and self.eval_solver:
+            return self.eval_solver
+        return self.solver
+
+    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False, eval_mode=False):
         """Integrate and return x_states[B, K, S, T]
         (parity: vihds/ode.py:66-82)."""
         n_batch = treatments.shape[0]
         init_state = self.initialize_state(params, theta, treatments, n_batch, n_iwae)
         rhs = self.make_rhs(params, theta, treatments, dev_1hot)
         sol = integrate(
-            rhs, init_state, times, method=self.solver, checkpoint=checkpoint, adjoint=self.adjoint
+            rhs,
+            init_state,
+            times,
+            method=self._solver_for(eval_mode),
+            checkpoint=checkpoint,
+            adjoint=self.adjoint,
         )  # [T, B, K, S]
         return jnp.transpose(sol, (1, 2, 3, 0))
 

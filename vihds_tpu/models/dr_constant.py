@@ -130,10 +130,12 @@ class DR_Constant(OdeModel):
 
         return rhs
 
-    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False):
-        """Route ``solver: pallas_<method>`` to the fused VMEM-resident Pallas
-        integrator (forward-only; constant-precision variants)."""
-        if self.solver.startswith("pallas_") and not self.precisions.dynamic:
+    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False, eval_mode=False):
+        """Route ``solver: pallas_<method>`` (or ``eval_solver`` in eval mode)
+        to the fused VMEM-resident Pallas integrator (forward-only;
+        constant-precision variants)."""
+        method = self._solver_for(eval_mode)
+        if method.startswith("pallas_") and not self.precisions.dynamic:
             from vihds_tpu.ops import pallas_ode
 
             n_batch = treatments.shape[0]
@@ -142,12 +144,17 @@ class DR_Constant(OdeModel):
                 self.initialize_state(params, theta, treatments, n_batch, n_iwae),
                 (n_batch, n_iwae, self.n_species),
             )
-            sol = pallas_ode.dr_constant_simulate(
-                c, y0, times, method=self.solver[len("pallas_"):]
-            )
+            sol = pallas_ode.dr_constant_simulate(c, y0, times, method=method[len("pallas_"):])
             return jnp.transpose(sol, (1, 2, 3, 0))
         return super().simulate(
-            params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=checkpoint
+            params,
+            theta,
+            times,
+            treatments,
+            dev_1hot,
+            n_iwae,
+            checkpoint=checkpoint,
+            eval_mode=eval_mode,
         )
 
 

@@ -52,9 +52,12 @@ N_SPECIES = 8
 
 
 def _dr_rhs_cols(c, t, y):
-    """dr_constant RHS on column vectors; c maps name -> [block] vector
-    (same math as vihds_tpu/models/dr_constant.py:_dr_species_rhs)."""
-    x, rfp, yfp, cfp, f530, f480, luxR, lasR = [y[:, i] for i in range(N_SPECIES)]
+    """dr_constant RHS; ``y`` is [S, block] — species ride the sublane axis
+    and sample rows fill the 128-lane axis, the natural VPU tiling (a
+    [block, S] layout pads S=8 up to 128 lanes: 16x VMEM waste, observed as
+    a compile-time VMEM OOM).  Same math as
+    vihds_tpu/models/dr_constant.py:_dr_species_rhs."""
+    x, rfp, yfp, cfp, f530, f480, luxR, lasR = [y[i, :] for i in range(N_SPECIES)]
     gr = c["r"] * jax.nn.sigmoid(4.0 * (t - c["tlag"]))
     gamma = gr * (1.0 - x / c["K"])
     boundLuxR = luxR * luxR * c["fracLuxR"]
@@ -74,7 +77,7 @@ def _dr_rhs_cols(c, t, y):
             c["rc"] * c["aR"] - (gamma + c["dR"]) * luxR,
             c["rc"] * c["aS"] - (gamma + c["dS"]) * lasR,
         ],
-        axis=1,
+        axis=0,
     )
 
 
@@ -127,9 +130,9 @@ def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512
     )
     if pad:
         packed = jnp.pad(packed, ((0, 0), (0, pad)))
-    y0_flat = y0.reshape(R, S)
+    y0_flat = y0.reshape(R, S).T  # [S, R] — species on sublanes, rows on lanes
     if pad:
-        y0_flat = jnp.pad(y0_flat, ((0, pad), (0, 0)), constant_values=1e-3)
+        y0_flat = jnp.pad(y0_flat, ((0, 0), (0, pad)), constant_values=1e-3)
     T = times.shape[0]
     times2d = times.reshape(T, 1)
 
@@ -139,11 +142,11 @@ def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512
         grid=grid,
         in_specs=[
             pl.BlockSpec((len(DR_CONST_NAMES), block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, block, S), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, Rp, S), y0.dtype),
+        out_specs=pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, S, Rp), y0.dtype),
         interpret=interpret,
     )(packed, y0_flat, times2d)
-    return out[:, :R].reshape(T, B, Kn, S)
+    return jnp.moveaxis(out[:, :, :R], 1, 2).reshape(T, B, Kn, S)

@@ -253,7 +253,7 @@ class Training:
 
         def eval_step(params, batch, mask, key, n_samples, with_theta=True):
             u = model.sample_u(key, batch.observations.shape[0], n_samples)
-            out = model.forward(params, batch, u)
+            out = model.forward(params, batch, u, eval_mode=True)
             terms = iwae_elbo_terms(program, out, batch, use_laplace)
             lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
             per_item_elbo = lse - math.log(n_samples)

@@ -50,7 +50,7 @@ class VAE:
         u = jax.random.normal(key, (n_batch, n_samples, self.n_theta), jnp.float32)
         return parallel.constrain_u(u)
 
-    def forward(self, params, batch, u, checkpoint=False):
+    def forward(self, params, batch, u, checkpoint=False, eval_mode=False):
         """One forward pass.  ``batch``: AttrDict of device arrays
         (observations[B,S,T], inputs[B,C], dev_1hot[B,D], times[T]);
         ``u``: [B,K,n_theta] standard-normal draws.
@@ -83,6 +83,7 @@ class VAE:
             batch.dev_1hot,
             n_iwae=u.shape[1],
             checkpoint=checkpoint,
+            eval_mode=eval_mode,
         )
         x_states, precisions = self.ode_model.expand_precisions(
             params["dec"], th, batch.times.shape[0], x_solution
