@@ -1,0 +1,94 @@
+"""Figure-function smoke tests on synthetic inputs (the slow end-to-end xval
+test covers the full families; these catch regressions cheaply)."""
+
+import numpy as np
+import pytest
+
+from vihds_tpu import plotting
+from vihds_tpu.utils.attrdict import AttrDict
+
+
+@pytest.fixture()
+def synth():
+    rng = np.random.RandomState(0)
+    B, S, T = 8, 4, 20
+    res = AttrDict(
+        settings=AttrDict(
+            devices=["devA", "devB"],
+            pretty_devices=["A", "B"],
+            signals=["OD", "RFP", "YFP", "CFP"],
+            conditions=["C6", "C12"],
+            separate_conditions=True,
+        ),
+        devices=np.array([0, 0, 0, 0, 1, 1, 1, 1]),
+        treatments=np.log1p(rng.rand(B, 2) * 100),
+        times=np.linspace(0, 17, T),
+        X_obs=rng.rand(B, S, T),
+        iw_predict_mu=rng.rand(B, S, T),
+        iw_predict_std=0.1 * rng.rand(B, S, T),
+        iw_states=rng.rand(B, 6, T),
+        ids=np.arange(B),
+        chunk_sizes=np.array([4, 4], dtype=object),
+        q_names=["r.mu", "r.prec", "e76.mu", "e76.prec"],
+        q_values=[rng.rand(B), 1 + rng.rand(B), rng.rand(2), 1 + rng.rand(2)],
+    )
+    return res
+
+
+def test_prediction_summary(synth):
+    f = plotting.plot_prediction_summary(
+        synth.settings.devices,
+        synth.settings.signals,
+        synth.times,
+        synth.X_obs,
+        synth.iw_predict_mu,
+        synth.iw_predict_std,
+        synth.devices,
+        "-",
+    )
+    assert f is not None
+
+
+def test_species_summary(synth):
+    f = plotting.species_summary(
+        ["OD", "RFP", "YFP", "CFP"],
+        synth.treatments,
+        synth.devices,
+        synth.times,
+        synth.iw_states,
+        [0, 1],
+        synth.settings,
+    )
+    assert f is not None
+
+
+def test_xval_figures(synth):
+    assert plotting.xval_treatments(synth, [0, 1]) is not None
+    assert plotting.xval_fit_summary(synth, 0, separatedInputs=True) is not None
+    assert plotting.xval_individual_2treatments(synth, 0) is not None
+    assert plotting.xval_global_parameters(synth) is not None
+    assert plotting.xval_variable_parameters(synth) is not None
+
+
+def test_weighted_theta(synth):
+    rng = np.random.RandomState(1)
+    B, K, n = 8, 10, 3
+    iws = rng.rand(B, K)
+    iws /= iws.sum(1, keepdims=True)
+    theta = rng.rand(n, B, K)
+    f = plotting.plot_weighted_theta(
+        ["a", "b", "c"],
+        iws,
+        theta,
+        synth.devices,
+        iws,
+        theta,
+        synth.devices,
+        columns2use=["a", "b"],
+    )
+    assert f is not None
+
+
+def test_gen_treatment_str():
+    s = plotting.gen_treatment_str(["C6", "C12"], np.log1p(np.array([25000.0, 0.0])))
+    assert "C6 = 25000" in s and "C12 = 0" in s

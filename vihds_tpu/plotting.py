@@ -164,7 +164,7 @@ def xval_treatments(res, devices):
             std = res.iw_predict_std[locs, j, -1]
             for ci, cvalues in enumerate(input_values):
                 ax.errorbar(cvalues, mu, yerr=std, fmt="o", ms=5, lw=1, mec=edges[ci % 3], color=colors[ci % 3], zorder=ci)
-                ax.semilogx(cvalues, res.X_obs[locs, j, -1], "kx", ms=5, lw=1, color=edges[ci % 3], zorder=ci + 20)
+                ax.semilogx(cvalues, res.X_obs[locs, j, -1], "x", ms=5, lw=1, color=edges[ci % 3], zorder=ci + 20)
             ax.set_ylim(-0.1, 1.1)
             ax.tick_params(axis="both", which="major", labelsize=FS)
             ax.set_xticks(np.logspace(0, 4, 3))
