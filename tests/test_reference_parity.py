@@ -125,6 +125,55 @@ def test_gaussian_observation_logprob_parity(ref):
     np.testing.assert_allclose(ours, expected, rtol=1e-5)
 
 
+def test_dr_constant_rhs_and_trajectory_parity(ref):
+    """Integrate the flagship dr_constant model with the REFERENCE's own RHS
+    class + modified-Euler solver and with ours, from identical theta — the
+    trajectories must agree to float32 tolerance."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from vihds_tpu.models.dr_constant import _dr_constants, _dr_species_rhs
+    from vihds_tpu.ops.solvers import integrate
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.dr_constant import DR_Constant_RHS
+        from vihds.solvers import modified_euler_integrate
+        from vihds.distributions import DotOperatorSamples
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(0)
+    B, K = 3, 4
+    names = [
+        "r", "K", "tlag", "rc", "a530", "a480", "drfp", "dyfp", "dcfp", "dR", "dS",
+        "e76", "e81", "aCFP", "aYFP", "KGR_76", "KGS_76", "KGR_81", "KGS_81",
+        "KR6", "KR12", "KS6", "KS12", "nR", "nS", "aR", "aS",
+    ]
+    vals = {n: (0.1 + rng.rand(B, K)).astype(np.float32) for n in names}
+    treatments = np.log1p(rng.rand(B, 2) * 100).astype(np.float32)
+    y0 = (0.01 * rng.rand(B, K, 8)).astype(np.float32)
+    times = np.linspace(0.0, 10.0, 21).astype(np.float32)
+
+    # reference side
+    theta_ref = DotOperatorSamples()
+    for n in names:
+        theta_ref.add(n, torch.tensor(vals[n]))
+    rhs_ref = DR_Constant_RHS(None, theta_ref, torch.tensor(treatments), None, version=1)
+    sol_ref = modified_euler_integrate(
+        rhs_ref, torch.tensor(y0), torch.tensor(times)
+    ).detach().numpy()  # [T, B, K, S]
+
+    # our side
+    th = {n: jnp.asarray(vals[n]) for n in names}
+    c = _dr_constants(th, jnp.asarray(treatments), 1)
+    rhs = lambda t, y: _dr_species_rhs(c, t, y)
+    sol = np.asarray(integrate(rhs, jnp.asarray(y0), jnp.asarray(times), method="modeuler"))
+
+    np.testing.assert_allclose(sol, sol_ref, rtol=5e-4, atol=1e-6)
+
+
 def test_clip_parity(ref):
     """p.clip bounds: mu +- s*sigma, exp-transformed for LogNormal
     (reference vihds/distributions.py:332-336, 377-381)."""
