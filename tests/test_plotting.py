@@ -89,6 +89,23 @@ def test_weighted_theta(synth):
     assert f is not None
 
 
+def test_combined_treatments(synth):
+    rng = np.random.RandomState(2)
+    B, S, K, T = 8, 4, 6, 20
+    res = AttrDict(
+        devices=synth.devices,
+        treatments=synth.treatments,
+        X_obs=np.transpose(synth.X_obs, (0, 2, 1)),  # [L, T, S] final-row slicing
+        importance_weights=np.full((B, K), 1.0 / K),
+        PREDICT=rng.rand(B, K, S),  # [L, K, S] (reference contract)
+        STD=0.1 * rng.rand(B, K, S),
+        pretty_devices=["A", "B"],
+        label="m1",
+    )
+    f = plotting.combined_treatments([res], [0, 1])
+    assert f is not None
+
+
 def test_gen_treatment_str():
     s = plotting.gen_treatment_str(["C6", "C12"], np.log1p(np.array([25000.0, 0.0])))
     assert "C6 = 25000" in s and "C12 = 0" in s

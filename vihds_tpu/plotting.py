@@ -344,6 +344,69 @@ def xval_individual_2treatments(res, device_id):
     return f
 
 
+def combined_treatments(results, devices):
+    """Model-data functional responses to the two inputs for MULTIPLE result
+    sets side by side (offline analysis; parity: vihds/plotting.py:455-529).
+
+    Each entry of ``results`` carries: devices, treatments, X_obs,
+    importance_weights[L,K], PREDICT[L,S,K], STD[L,S,K], pretty_devices,
+    label."""
+    ndev = len(devices)
+    nres = len(results)
+    width = 0.2
+    lefts = [0.05, 0.57]
+    bottom = 0.3 / ndev
+    dx = 0.23
+    dy = (1 - bottom) / ndev
+    height = 0.9 * dy
+    c6_idx, c12_idx = 1, 0
+    ids = [2, 3]
+    colors = ["y", "c"]
+    f, ax = plt.subplots(ndev, 2 * nres, sharex=True, figsize=(9, 2.2 * ndev + 0.5))
+    for iu, device_id in enumerate(devices):
+        row = ax[iu] if ndev > 1 else ax
+        ytext = "Normalized fluorescence" if ndev > 1 else "Norm. fluorescence"
+        row[0].set_ylabel(results[0].pretty_devices[iu], labelpad=25, fontweight="bold", fontsize=FS)
+        for ir, res in enumerate(results):
+            locs = np.where(res.devices == device_id)[0]
+            OBS = np.transpose(res.X_obs[locs, -1, :], [1, 0])
+            IW = res.importance_weights[locs]
+            PREDICT = np.transpose(res.PREDICT[locs, :], [2, 0, 1])
+            STD = np.transpose(res.STD[locs, :], [2, 0, 1])
+            C6 = (np.exp(res.treatments[:, c6_idx]) - 1)[locs]
+            C12 = (np.exp(res.treatments[:, c12_idx]) - 1)[locs]
+            for j, color in zip(ids, colors):
+                mu = np.sum(IW * PREDICT[j], 1)
+                var = np.sum(IW * (PREDICT[j] ** 2 + STD[j] ** 2), 1) - mu ** 2
+                std = np.sqrt(np.maximum(var, 0))
+                for k, (sig_id, C) in enumerate(zip(ids, [C6, C12])):
+                    ic = ir + k * nres
+                    row[ic].errorbar(C, mu, yerr=std, fmt="o", mec="k", ms=5, lw=1, color=color)
+                    row[ic].semilogx(C, OBS[sig_id], "x", ms=5, lw=1, color=color)
+            if ir > 0:
+                row[ir].set_yticklabels([])
+                row[ir + nres].set_yticklabels([])
+            for k in range(2):
+                ic = ir + k * nres
+                row[ic].set_position([lefts[k] + ir * dx, bottom + (ndev - iu - 1) * dy, width, height])
+                row[ic].set_xticks(np.logspace(0, 4, 3))
+                row[ic].set_ylim(-0.1, 1.1)
+                row[ic].set_yticks([0.0, 0.5, 1.0])
+                row[ic].tick_params(axis="both", which="major", labelsize=FS)
+                if iu == 0:
+                    row[ic].set_title(res.label, fontsize=FS)
+    for k, xlabel in enumerate(["C$_6$ (nM)", "C$_{12}$ (nM)"]):
+        f.add_subplot(
+            1, 2, k + 1, frameon=False,
+            position=[lefts[k], bottom, width + (nres - 1) * dx, height + (ndev - 1) * dy],
+        )
+        plt.tick_params(labelcolor="none", top=False, bottom=False, left=False, right=False)
+        plt.xlabel(xlabel, fontsize=FS, labelpad=10)
+        plt.ylabel(ytext, fontsize=FS, labelpad=8)
+    sns.despine()
+    return f
+
+
 def _param_names_by_arity(res, want_local):
     """Split q parameter names into per-datapoint vs global, preserving order."""
     ndata = len(res.ids)
