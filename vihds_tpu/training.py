@@ -172,7 +172,15 @@ class Training:
             int(b) * steps_per_epoch: p.learning_gamma for b in p.learning_boundaries
         }
         schedule = optax.piecewise_constant_schedule(p.learning_rate, boundaries)
-        self.tx = optax.adam(schedule)
+        # Optional global-norm gradient clipping (params.grad_clip_norm):
+        # neural-precision specs can blow up the q precision head at the
+        # reference's lr=0.01 (observed: NaN abort mid-fold on
+        # auto_constant_precisions); off by default for parity.
+        clip_norm = p.get("grad_clip_norm")
+        if clip_norm:
+            self.tx = optax.chain(optax.clip_by_global_norm(float(clip_norm)), optax.adam(schedule))
+        else:
+            self.tx = optax.adam(schedule)
 
         # Full train/valid splits as host arrays for the big-K eval
         self.train_data = data.train.batch()

@@ -68,7 +68,10 @@ class XvalMerge:
         """(parity: vihds/xval.py:65-85)"""
         print("Preparing cross-validation results")
         self.elbo = np.array(self.elbo)
-        self.elbo_list = np.array(self.elbo_list)
+        # folds that hit the NaN abort have shorter ELBO trajectories;
+        # object dtype keeps the merge ragged-safe (the reference's
+        # np.array(...) crashes on this case, vihds/xval.py:68)
+        self.elbo_list = np.array(self.elbo_list, dtype=object)
         self.q_values = [
             np.concatenate([np.array(q[i], ndmin=1) for q in self.q_values])
             for i, _ in enumerate(self.q_names)
