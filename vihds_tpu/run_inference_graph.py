@@ -56,6 +56,15 @@ def propagate_params(node, settings, resultmap):
         xval = np.load(os.path.join(inresultfp, "xval_q_values.npy"), allow_pickle=True)
         with open(os.path.join(inresultfp, "xval_q_names.txt")) as f:
             xlabels = [line.rstrip() for line in f]
+        if incoming.sourceParam + ".mu" not in xlabels:
+            # e.g. the shipped graph propagates dr.aR -> relay.aR, but aR is a
+            # device-conditioner output in dr_constant_precisions, not a q
+            # site — the reference would crash here (run_inference_graph.py:48)
+            print(
+                "WARNING: %s has no posterior for %r; skipping edge to %s.%s"
+                % (incoming.source.name, incoming.sourceParam, node.name, incoming.targetParam)
+            )
+            continue
         avgmu = float(np.mean(xval[xlabels.index(incoming.sourceParam + ".mu")]))
         prec = float(pooled_prec(xval[xlabels.index(incoming.sourceParam + ".prec")]))
         for key in ("global", "local", "shared"):
