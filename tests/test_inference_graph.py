@@ -77,8 +77,9 @@ def test_propagate_params_rule(tmp_path):
     newdist = settings.params["local"]["r"]
     assert newdist["distribution"] == "LogNormal"
     np.testing.assert_allclose(newdist["mu"], 2.0)
-    # pooled precision: 2 / (1/2 + 1/4) = 8/3
-    np.testing.assert_allclose(newdist["sigma"], 8.0 / 3.0)
+    # pooled precision: 2 / (1/2 + 1/4) = 8/3; sigma = 1/sqrt(prec)
+    # (the reference stores the precision in the sigma field — a units bug)
+    np.testing.assert_allclose(newdist["sigma"], 1.0 / np.sqrt(8.0 / 3.0))
 
 
 @pytest.mark.slow

@@ -67,14 +67,20 @@ def propagate_params(node, settings, resultmap):
             continue
         avgmu = float(np.mean(xval[xlabels.index(incoming.sourceParam + ".mu")]))
         prec = float(pooled_prec(xval[xlabels.index(incoming.sourceParam + ".prec")]))
+        # The reference writes the pooled PRECISION into the 'sigma' field
+        # (vihds/run_inference_graph.py:63-67) — a units bug that inflates the
+        # downstream prior's sigma by prec^(3/2) and blows up training
+        # (observed: every relay/degrader fold NaN'ing under such priors).
+        # Convert properly: sigma = 1/sqrt(pooled precision).
+        sigma = 1.0 / np.sqrt(prec)
         for key in ("global", "local", "shared"):
             if key in settings.params and incoming.targetParam in settings.params[key]:
                 print(
-                    "Target parameter for %s is %s (%s tier)"
-                    % (node.name, incoming.targetParam, key)
+                    "Target parameter for %s is %s (%s tier): LogNormal(mu=%.3f, sigma=%.3f)"
+                    % (node.name, incoming.targetParam, key, avgmu, sigma)
                 )
                 settings.params[key][incoming.targetParam] = attrdictify(
-                    {"distribution": "LogNormal", "mu": avgmu, "sigma": prec}
+                    {"distribution": "LogNormal", "mu": avgmu, "sigma": sigma}
                 )
 
 
