@@ -67,14 +67,14 @@ def main():
     jax.block_until_ready(elbos)
     assert np.isfinite(np.asarray(elbos)).all(), "warmup ELBOs not finite"
 
-    n_calls = 4
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
+    # median over calls — the tunnel adds per-dispatch jitter
+    rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         p, o, key, elbos = epoch_fn(p, o, key, obs_s, inp_s, dev_s, batch.times, masks)
-    jax.block_until_ready(elbos)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_calls * n_steps / dt
+        jax.block_until_ready(elbos)
+        rates.append(n_steps / (time.perf_counter() - t0))
+    steps_per_sec = float(np.median(rates))
     vs = steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC if REFERENCE_CPU_STEPS_PER_SEC else None
     print(
         json.dumps(

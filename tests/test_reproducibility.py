@@ -1,0 +1,119 @@
+"""Determinism and robustness: same-seed runs are bit-identical; ragged
+(NaN-aborted) folds survive the merge round-trip; TruncatedNormal and
+Kumaraswamy sites train end-to-end."""
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.conftest import make_args, spec
+from vihds_tpu.config import Config
+from vihds_tpu.run_xval import run_on_split
+
+
+def _run(tmp_path, monkeypatch, seed=0):
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    args = make_args(spec("dr_constant_one.yaml"), epochs=2, test_epoch=2)
+    args.seed = seed
+    settings = Config(args)
+    settings.trainer = None
+    data, results = run_on_split(args, settings)
+    return results
+
+
+def test_same_seed_bit_identical(tmp_path, monkeypatch):
+    r1 = _run(tmp_path, monkeypatch, seed=0)
+    r2 = _run(tmp_path, monkeypatch, seed=0)
+    np.testing.assert_array_equal(r1.elbo, r2.elbo)
+    np.testing.assert_array_equal(r1.iw_predict_mu, r2.iw_predict_mu)
+    r3 = _run(tmp_path, monkeypatch, seed=1)
+    assert not np.array_equal(r1.elbo, r3.elbo)
+
+
+def test_ragged_fold_merge_roundtrip(tmp_path):
+    """Folds aborted early (NaN) have shorter ELBO trajectories; the merge +
+    save + load cycle must survive them."""
+    from vihds_tpu.xval import XvalMerge
+    from vihds_tpu.config import Trainer
+
+    args = make_args(spec("dr_constant_one.yaml"))
+    args.experiment = "ragged"
+
+    class FakeResults:
+        def __init__(self, n_evals, n, T):
+            rng = np.random.RandomState(n_evals)
+            self.q_names = ["r.mu", "r.prec"]
+            self.q_values = np.array([rng.rand(n), 1 + rng.rand(n)], dtype=object)
+            self.species_names = ["OD", "RFP", "YFP", "CFP"]
+            self.elbo = float(n_evals)
+            self.elbo_list = list(range(n_evals))  # ragged across folds
+            self.theta = rng.rand(2, n, 3)
+            self.iw_predict_mu = rng.rand(n, 4, T)
+            self.iw_predict_std = rng.rand(n, 4, T)
+            self.iw_states = rng.rand(n, 8, T)
+
+    class FakeSubset:
+        def __init__(self, ds, idx):
+            self.dataset = ds
+            self.indices = idx
+
+        def batch(self):
+            return self.dataset.select(self.indices)
+
+    from vihds_tpu.data.datasets import build_datasets
+
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    import os
+
+    os.environ["INFERENCE_RESULTS_DIR"] = str(tmp_path)
+    settings.trainer = Trainer(args, log_dir=str(tmp_path))
+    xm = XvalMerge(args, settings)
+    T = data.train.dataset.n_times
+
+    class Pair:
+        pass
+
+    for split, n_evals in ((1, 3), (2, 1)):  # fold 2 aborted after 1 eval
+        pair = Pair()
+        pair.train = data.train
+        pair.test = FakeSubset(data.train.dataset, np.arange((split - 1) * 5, split * 5))
+        pair.n_test = 5
+        xm.add(split, pair, FakeResults(n_evals, 5, T))
+    xm.finalize()
+    xm.save()
+    xm2 = XvalMerge(args, settings)
+    xm2.load(str(tmp_path))
+    assert len(xm2.elbo_list[0]) == 3 and len(xm2.elbo_list[1]) == 1
+    assert xm2.iw_predict_mu.shape[0] == 10
+
+
+def test_truncnormal_kumaraswamy_train_end_to_end(tmp_path, monkeypatch):
+    """A spec using TruncNormal and Kumaraswamy sites trains with finite
+    ELBOs (both distributions are NotImplementedError stubs in the
+    reference, vihds/distributions.py:442-446,498-507)."""
+    base = yaml.safe_load(open(spec("dr_constant_one.yaml")))
+    # extra latent sites exercising both families end-to-end (sampled,
+    # scored, trained) without perturbing the ODE dynamics
+    base["params"]["local"]["tn_site"] = {
+        "distribution": "TruncNormal", "mu": 1.0, "sigma": 0.25, "a": 0.2, "b": 3.0,
+    }
+    base["params"]["global"]["one_sided"] = {
+        "distribution": "TruncNormal", "mu": 0.0, "sigma": 1.0, "a": 0.0,
+    }
+    base["params"]["global"]["mix"] = {"distribution": "Kumaraswamy", "a": 2.0, "b": 2.0}
+    p = tmp_path / "trunc_kuma.yaml"
+    p.write_text(yaml.dump(base))
+
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    args = make_args(str(p), epochs=2, test_epoch=2)
+    settings = Config(args)
+    settings.trainer = None
+    data, results = run_on_split(args, settings)
+    assert results is not None
+    assert np.isfinite(np.asarray(results.elbo)).all()
+    assert "tn_site.mu" in results.q_names and "mix.mu" in results.q_names
+    # theta artifact order: local|gc|global|const; tn_site is the last local
+    i = 4  # r,K,tlag,rc,tn_site
+    tn = np.asarray(results.theta)[i]
+    assert (tn >= 0.2 - 1e-4).all() and (tn <= 3.0 + 1e-4).all()

@@ -74,6 +74,19 @@ class ParamProgram:
         self.const_value = np.where(self.is_constant, self.prior_mu, 0.0).astype(np.float32)
         self.trunc_a = np.array([s.a for s in ordered], np.float32)
         self.trunc_b = np.array([s.b for s in ordered], np.float32)
+        # Finite stand-ins for the non-truncated columns: the vectorised
+        # truncnorm branch runs for EVERY column under a mask, and +-inf
+        # bounds there produce inf intermediates whose backward is NaN even
+        # though jnp.where discards the values (the classic masked-branch
+        # NaN-gradient trap).
+        # One-sided truncations keep their open side as a large finite bound
+        # (cdf saturates to 0/1 with zero gradient — the correct limit).
+        self._trunc_a_safe = np.where(
+            self.is_truncated, np.nan_to_num(self.trunc_a, neginf=-1e6, posinf=1e6), -1.0
+        ).astype(np.float32)
+        self._trunc_b_safe = np.where(
+            self.is_truncated, np.nan_to_num(self.trunc_b, neginf=-1e6, posinf=1e6), 1.0
+        ).astype(np.float32)
         self.zmin = np.array([s.zmin for s in ordered], np.float32)
         self.zmax = np.array([s.zmax for s in ordered], np.float32)
 
@@ -119,8 +132,8 @@ class ParamProgram:
             # Inverse-CDF sampling of the truncated normal from standard-normal
             # draws u: v = Phi(u); x = mu + sigma * Phi^-1(PhiA + v (PhiB-PhiA))
             sigma_safe = jnp.where(self.is_truncated, sigma_b, 1.0)
-            A = (self.trunc_a - mu_b) / sigma_safe
-            B = (self.trunc_b - mu_b) / sigma_safe
+            A = (self._trunc_a_safe - mu_b) / sigma_safe
+            B = (self._trunc_b_safe - mu_b) / sigma_safe
             PhiA, PhiB = jnorm.cdf(A), jnorm.cdf(B)
             v = jnorm.cdf(u)
             vv = jnp.clip(PhiA + v * (PhiB - PhiA), 1e-6, 1.0 - 1e-6)
@@ -197,8 +210,8 @@ class ParamProgram:
         lp = jnp.where(self.is_lognormal, lp - jnp.log(theta + EPS), lp)
         if self.is_truncated.any():
             sigma = 1.0 / jnp.sqrt(jnp.maximum(prec, EPS))
-            A = (self.trunc_a - mu) / sigma
-            B_ = (self.trunc_b - mu) / sigma
+            A = (self._trunc_a_safe - mu) / sigma
+            B_ = (self._trunc_b_safe - mu) / sigma
             logZ = jnp.log(jnp.maximum(jnorm.cdf(B_) - jnorm.cdf(A), EPS))
             lp = jnp.where(self.is_truncated, lp - logZ, lp)
         if self.is_kumaraswamy.any():
