@@ -73,7 +73,7 @@ def main():
           % (logZ.mean(), (logZ - iwae).mean()))
     print("  HMC accept rate:  %.2f (post-warmup mean)" % float(np.asarray(hmc.accept_rate).mean()))
     lj = np.asarray(hmc.log_joint_trace)
-    print("  HMC mean log-joint: start %.1f -> end %.1f" % (lj[0], lj[-1]))
+    print("  HMC median log-joint: start %.1f -> end %.1f" % (lj[0], lj[-1]))
 
 
 if __name__ == "__main__":

@@ -154,7 +154,8 @@ def hmc_refine(
         adapt = (t < n_warmup).astype(jnp.float32)
         log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
         counted = (t >= n_warmup).astype(jnp.float32)
-        return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), lj0.mean()
+        # median across chains: robust to the occasional diverged chain
+        return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), jnp.median(lj0)
 
     keys = jax.random.split(key, n_steps)
     # Per-chain initial step scaled by the local gradient magnitude: a unit
