@@ -75,6 +75,31 @@ def test_dryrun_multichip_entry():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_refinement_runs_sharded():
+    """HMC refinement executes under the (data, sample) mesh with the batch
+    sharded over 'data' and chains over 'sample'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vihds_tpu import refine
+
+    program, model, batch = _setup()
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = parallel.make_mesh(n_data=2, devices=jax.devices()[:8])
+    data_sh = NamedSharding(mesh, P("data"))
+    sharded_batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sh) if x.ndim and x.shape[0] == N_BATCH else x, batch
+    )
+    with parallel.use_mesh(mesh):
+        out = refine.hmc_refine(
+            model, program, params, sharded_batch, jax.random.PRNGKey(1),
+            n_chains=8, n_steps=4, n_leapfrog=2,
+        )
+    theta = np.asarray(out.theta)
+    assert theta.shape == (N_BATCH, 8, program.n_theta)
+    assert np.isfinite(theta).all()
+
+
 def test_mesh_factory_shapes():
     devs = jax.devices()
     mesh = parallel.make_mesh(devices=devs)

@@ -82,9 +82,15 @@ def make_log_joint(model, program, params, batch):
 
 
 def init_z_from_q(model, program, params, batch, key, n_samples):
-    """Draw z ~ q in unconstrained space (q's mu/prec parameterise z directly)."""
+    """Draw z ~ q in unconstrained space (q's mu/prec parameterise z directly).
+    The draw is sharded over the ambient (data, sample) mesh like the
+    training u — chains/particles parallelise across chips."""
+    from vihds_tpu import parallel
+
     q = model.encoder(params["enc"], batch)
-    u = jax.random.normal(key, (q.mu.shape[0], n_samples, program.n_theta), jnp.float32)
+    u = parallel.constrain_u(
+        jax.random.normal(key, (q.mu.shape[0], n_samples, program.n_theta), jnp.float32)
+    )
     sigma = 1.0 / jnp.sqrt(jnp.maximum(q.prec, 1e-12))
     z = q.mu[:, None, :] + sigma[:, None, :] * u
     log_q = (_normal_logpdf(z, q.mu[:, None, :], q.prec[:, None, :]) * _sampled_mask(program)).sum(-1)
