@@ -55,6 +55,24 @@ def test_laplace_observation_model():
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
 
 
+def test_train_through_dopri5(tmp_path, monkeypatch):
+    """Training with an adaptive solver end-to-end (reference capability:
+    solver: dopri5 trains through torchdiffeq, vihds/ode.py:75-82)."""
+    monkeypatch.chdir(tmp_path)
+    args = make_args(spec("dr_constant_one.yaml"), train_samples=5, test_samples=5, epochs=2)
+    settings = Config(args)
+    settings.params.solver = "dopri5"
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    from vihds_tpu.training import Training
+
+    res = Training(args, settings, data, program, model).run()
+    assert res is not None
+    assert np.isfinite(res.elbo)
+
+
 def test_defaults_table():
     """Hyper-parameter defaults parity (reference vihds/config.py:56-88)."""
     args = make_args(spec("dr_constant_one.yaml"))

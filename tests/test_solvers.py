@@ -69,6 +69,46 @@ def test_adjoint_matches_direct_gradient():
     np.testing.assert_allclose(g1, g2, rtol=5e-2, atol=1e-3)
 
 
+@pytest.mark.parametrize("method", ["dopri5", "dopri8"])
+def test_adaptive_solvers_are_trainable(method):
+    """Gradients flow through the adaptive solvers (reference trains through
+    torchdiffeq dopri5/dopri8, vihds/ode.py:75-82; here the reverse pass is
+    the continuous adjoint with the adaptive forward)."""
+    rhs, y0, times = _setup()
+
+    def loss_adaptive(y0):
+        return jnp.sum(integrate(rhs, y0, times, method=method)[-1])
+
+    def loss_fixed(y0):
+        return jnp.sum(integrate(rhs, y0, times, method="rk4")[-1])
+
+    g = np.asarray(jax.grad(loss_adaptive)(y0))
+    g_ref = np.asarray(jax.grad(loss_fixed)(y0))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g, g_ref, rtol=5e-2, atol=1e-3)
+
+
+def test_adaptive_theta_gradients():
+    """Gradients reach RHS closure constants (theta), not just y0 — the
+    closure_convert + adjoint c_bar path."""
+
+    def make_rhs(theta):
+        def rhs(t, y):
+            return -theta * y + jnp.sin(t)
+
+        return rhs
+
+    times = jnp.linspace(0.0, 2.0, 21)
+    y0 = jnp.array([1.0, 0.5])
+
+    def loss(theta, method):
+        return jnp.sum(integrate(make_rhs(theta), y0, times, method=method)[-1])
+
+    g5 = float(jax.grad(loss)(0.7, "dopri5"))
+    g_ref = float(jax.grad(loss)(0.7, "rk4"))
+    np.testing.assert_allclose(g5, g_ref, rtol=1e-4)
+
+
 def test_checkpointed_scan_matches():
     rhs, y0, times = _setup()
     a = np.asarray(integrate(rhs, y0, times, method="midpoint"))

@@ -20,26 +20,45 @@ from jax import lax
 from vihds_tpu.ops import solvers as _solvers
 
 
-def integrate_adjoint(rhs, y0, times, method="midpoint", n_sub=4):
-    """Like integrate_fixed but with adjoint-based reverse-mode."""
+def integrate_adjoint(rhs, y0, times, method="midpoint", n_sub=4, **opts):
+    """Like integrate_fixed but with adjoint-based reverse-mode.
+
+    ``method`` may also be an adaptive solver ("dopri5"/"dopri8"): the forward
+    pass then runs the PI-controlled adaptive integrator and the backward pass
+    re-integrates the augmented adjoint system on fixed RK4 substeps between
+    the stored grid states — adaptive forward, fixed backward.  This is the
+    only reverse path for adaptive methods under jit (``lax.while_loop`` is
+    not reverse-differentiable), and it is capability parity with training
+    through torchdiffeq's dopri solvers (reference vihds/ode.py:75-82).
+    ``opts`` (rtol/atol/max_steps_per_interval) are forwarded to the adaptive
+    integrator.
+    """
     rhs_conv, consts = jax.closure_convert(lambda t, y: rhs(t, y), times[0], y0)
-    return _adjoint_call(rhs_conv, method, n_sub, y0, times, *consts)
+    return _adjoint_call(rhs_conv, method, n_sub, tuple(sorted(opts.items())), y0, times, *consts)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _adjoint_call(rhs_conv, method, n_sub, y0, times, *consts):
-    def rhs(t, y):
-        return rhs_conv(t, y, *consts)
+def _forward(rhs, y0, times, method, opts):
+    if method in _solvers.ADAPTIVE_SOLVERS:
+        from vihds_tpu.ops.dopri import integrate_adaptive
 
+        return integrate_adaptive(rhs, y0, times, method=method, **dict(opts))
     return _solvers.integrate_fixed(rhs, y0, times, method=method)
 
 
-def _adjoint_fwd(rhs_conv, method, n_sub, y0, times, *consts):
-    ys = _adjoint_call(rhs_conv, method, n_sub, y0, times, *consts)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _adjoint_call(rhs_conv, method, n_sub, opts, y0, times, *consts):
+    def rhs(t, y):
+        return rhs_conv(t, y, *consts)
+
+    return _forward(rhs, y0, times, method, opts)
+
+
+def _adjoint_fwd(rhs_conv, method, n_sub, opts, y0, times, *consts):
+    ys = _adjoint_call(rhs_conv, method, n_sub, opts, y0, times, *consts)
     return ys, (ys, times, consts)
 
 
-def _adjoint_bwd(rhs_conv, method, n_sub, res, g):
+def _adjoint_bwd(rhs_conv, method, n_sub, opts, res, g):
     ys, times, consts = res
 
     def aug_rhs(t, s):

@@ -91,9 +91,14 @@ def integrate(rhs, y0, times, method="midpoint", checkpoint=False, adjoint=False
     torchdiffeq.odeint_adjoint, reference vihds/ode.py:80).
     """
     if method in ADAPTIVE_SOLVERS:
-        from vihds_tpu.ops.dopri import integrate_adaptive
+        # Adaptive solvers always ride the continuous-adjoint custom VJP:
+        # lax.while_loop is not reverse-differentiable, so the adjoint
+        # backward (fixed RK4 substeps re-anchored at the stored grid states)
+        # is the only — and O(1)-memory — gradient path.  Forward-only use is
+        # unchanged (the custom_vjp primal IS the adaptive integrator).
+        from vihds_tpu.ops.adjoint import integrate_adjoint
 
-        return integrate_adaptive(rhs, y0, times, method=method, **opts)
+        return integrate_adjoint(rhs, y0, times, method=method, **opts)
     if method not in FIXED_GRID_SOLVERS:
         raise ValueError("Unknown solver %r" % method)
     if adjoint:
