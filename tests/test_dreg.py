@@ -88,5 +88,14 @@ def test_dreg_training_step_runs(setup):
     training = Training(args, settings, data, program, model)
     opt_state = training.tx.init(params)
     mask = jnp.ones((batch.observations.shape[0],), jnp.float32)
-    p2, o2, elbo = training._train_step(params, opt_state, batch, mask, jax.random.PRNGKey(0))
-    assert np.isfinite(float(elbo))
+    p2, o2, _, elbos = training._train_epoch(
+        params,
+        opt_state,
+        jax.random.PRNGKey(0),
+        batch.observations[None],
+        batch.inputs[None],
+        batch.dev_1hot[None],
+        batch.times,
+        mask[None],
+    )
+    assert np.isfinite(np.asarray(elbos)).all()

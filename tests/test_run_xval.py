@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SITECUSTOMIZE = "import jax; jax.config.update('jax_platforms', 'cpu')"
 
 
-def run_cli(module, args, tmp_path, epochs=4, test_epoch=2):
+def run_cli(module, args, tmp_path, epochs=4, test_epoch=2, env_extra=None):
     boot = tmp_path / "boot"
     boot.mkdir(exist_ok=True)
     (boot / "sitecustomize.py").write_text(_SITECUSTOMIZE)
@@ -26,6 +26,8 @@ def run_cli(module, args, tmp_path, epochs=4, test_epoch=2):
     env["INFERENCE_RESULTS_DIR"] = str(tmp_path)
     env["PYTHONPATH"] = "%s%s%s" % (boot, os.pathsep, REPO)
     env["JAX_PLATFORMS"] = "cpu"
+    if env_extra:
+        env.update(env_extra)
     cmd = [
         sys.executable,
         "-m",
@@ -57,6 +59,7 @@ def assert_split_artifacts(tmp_path, experiment):
     return os.path.join(tmp_path, exp_dir)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "spec_name",
     ["auto_constant.yaml", "dr_constant_one.yaml", "dr_blackbox_icml.yaml"],
@@ -72,6 +75,7 @@ def test_run_xval_end_to_end(spec_name, tmp_path):
     assert_split_artifacts(tmp_path, exp)
 
 
+@pytest.mark.slow
 def test_call_run_xval_two_folds(tmp_path):
     """2-fold driver + merged artifacts + figures
     (model: reference tests/test_run_xval.py test_folds2)."""
@@ -97,6 +101,38 @@ def test_call_run_xval_two_folds(tmp_path):
     assert sorted(ids.tolist()) == list(range(48))
 
 
+@pytest.mark.slow
+def test_run_xval_mesh_cli_matches_single_device(tmp_path):
+    """--mesh_data/--mesh_sample shard the CLI train+eval path over an
+    8-virtual-device (data, sample) mesh; results must match the
+    single-device run (GSPMD reduction reordering only)."""
+    env8 = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    r1 = run_cli(
+        "vihds_tpu.run_xval",
+        [spec("dr_constant_one.yaml"), "--experiment=nomesh"],
+        tmp_path,
+        env_extra=env8,
+    )
+    assert r1.returncode == 0, r1.stdout[-2000:] + r1.stderr[-2000:]
+    r2 = run_cli(
+        "vihds_tpu.run_xval",
+        [spec("dr_constant_one.yaml"), "--experiment=mesh", "--mesh_data=2", "--mesh_sample=4"],
+        tmp_path,
+        env_extra=env8,
+    )
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    assert "Device mesh: data=2 x sample=4" in r2.stdout
+    e1, e2 = scrape_elbos(r1.stdout), scrape_elbos(r2.stdout)
+    assert len(e1) == len(e2) == 4
+    np.testing.assert_allclose(e1, e2, rtol=1e-2)
+    loc1 = assert_split_artifacts(tmp_path, "nomesh")
+    loc2 = assert_split_artifacts(tmp_path, "mesh_")
+    a1 = np.load(os.path.join(loc1, "xval_elbo.npy"))
+    a2 = np.load(os.path.join(loc2, "xval_elbo.npy"))
+    np.testing.assert_allclose(a1, a2, rtol=1e-2)
+
+
+@pytest.mark.slow
 def test_run_xval_unknown_model_message(tmp_path):
     r = run_cli("vihds_tpu.run_xval", [spec("dr_growthrate_xval.yaml"), "--experiment=bad"], tmp_path)
     assert r.returncode != 0

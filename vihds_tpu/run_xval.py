@@ -72,6 +72,27 @@ def create_parser(with_split: bool):
         default=None,
         help="Capture a jax.profiler device trace of one post-compile epoch into this directory",
     )
+    parser.add_argument(
+        "--mesh",
+        type=str,
+        default="off",
+        choices=["off", "auto"],
+        help="'auto': shard training and evaluation over ALL visible devices "
+        "on a (data, sample) mesh (IWAE samples on the larger axis). "
+        "The reference is single-device only (vihds/config.py:161-178).",
+    )
+    parser.add_argument(
+        "--mesh_data",
+        type=int,
+        default=None,
+        help="Devices on the 'data' (batch) mesh axis; combine with --mesh_sample",
+    )
+    parser.add_argument(
+        "--mesh_sample",
+        type=int,
+        default=None,
+        help="Devices on the 'sample' (IWAE) mesh axis; combine with --mesh_data",
+    )
     if with_split:
         group = parser.add_mutually_exclusive_group()
         group.add_argument("--heldout", type=str, help="name of held-out device, e.g. R33S32_Y81C76")
@@ -85,6 +106,29 @@ def create_parser(with_split: bool):
     return parser
 
 
+def make_mesh_from_args(args):
+    """Build the (data, sample) device mesh requested on the CLI, or None.
+
+    --mesh_data/--mesh_sample pick an explicit factorisation; --mesh auto
+    puts every visible device on the 'sample' axis (IWAE samples are the
+    larger parallel axis at the reference's K=200/1000 regimes).
+    """
+    n_data = getattr(args, "mesh_data", None)
+    n_sample = getattr(args, "mesh_sample", None)
+    if n_data or n_sample:
+        from vihds_tpu import parallel
+
+        return parallel.make_mesh(n_data=n_data, n_sample=n_sample)
+    if getattr(args, "mesh", "off") == "auto":
+        import jax
+
+        from vihds_tpu import parallel
+
+        if len(jax.devices()) > 1:
+            return parallel.make_mesh()
+    return None
+
+
 def run_on_split(args, settings, split=None):
     """Run one train-test split (parity: vihds/run_xval.py:60-72)."""
     if getattr(args, "heldout", None):
@@ -96,7 +140,10 @@ def run_on_split(args, settings, split=None):
     data = build_datasets(args, settings)
     program = ParamProgram(parse_parameters(settings.params))
     model = VAE(settings, data, program)
-    training = Training(args, settings, data, program, model)
+    mesh = make_mesh_from_args(args)
+    if mesh is not None:
+        print("Device mesh: data=%d x sample=%d" % (mesh.shape["data"], mesh.shape["sample"]))
+    training = Training(args, settings, data, program, model, mesh=mesh)
     return data, training.run()
 
 

@@ -231,12 +231,6 @@ class Training:
             def vag(params, batch, mask, key):
                 return jax.value_and_grad(loss_fn)(params, batch, mask, key)
 
-        def train_step(params, opt_state, batch, mask, key):
-            loss, grads = vag(params, batch, mask, key)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, -loss
-
         def train_epoch(params, opt_state, key, observations, inputs, dev_1hot, times, masks):
             """All of an epoch's batches in ONE device dispatch: lax.scan over
             the stacked [n_batches, B, ...] arrays.  This removes the per-step
@@ -299,21 +293,46 @@ class Training:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from vihds_tpu.parallel import shard_step
-
-            self._train_step = shard_step(train_step, self.mesh)
             repl = NamedSharding(self.mesh, P())
             stacked = NamedSharding(self.mesh, P(None, "data"))
-            self._train_epoch = jax.jit(
-                train_epoch,
-                in_shardings=(repl, repl, repl, stacked, stacked, stacked, repl, stacked),
-                donate_argnums=(0, 1),
+            # Train: [n_steps, B, ...] batch stacks shard their B rows over
+            # 'data'; the latent draw u is constrained to P('data','sample')
+            # inside the step (vihds_tpu/parallel.constrain_u), so every
+            # [B, K, ...] intermediate — including the ODE trajectory — is
+            # sharded over both mesh axes and GSPMD inserts the gradient
+            # psum + cross-'sample' logsumexp collectives.
+            self._train_epoch = self._ambient_mesh(
+                jax.jit(
+                    train_epoch,
+                    in_shardings=(repl, repl, repl, stacked, stacked, stacked, repl, stacked),
+                    donate_argnums=(0, 1),
+                )
+            )
+            # Eval: the big-K split evaluation is sharded the same way —
+            # chunk rows over 'data', K over 'sample' — so a K=1000 eval
+            # holds only K/n_sample samples per chip (SURVEY.md hard part #4).
+            self._eval_split = self._ambient_mesh(
+                jax.jit(
+                    eval_split,
+                    in_shardings=(repl, stacked, stacked, stacked, repl, repl),
+                    static_argnames=("n_samples", "with_theta"),
+                )
             )
         else:
-            self._train_step = jax.jit(train_step)
             self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(eval_step, static_argnames=("n_samples", "with_theta"))
-        self._eval_split = jax.jit(eval_split, static_argnames=("n_samples", "with_theta"))
+            self._eval_split = jax.jit(eval_split, static_argnames=("n_samples", "with_theta"))
+
+    def _ambient_mesh(self, fn):
+        """Make self.mesh the ambient mesh while ``fn`` runs, so the
+        with_sharding_constraint on u resolves during tracing regardless of
+        which entry point (CLI, bench, tests) invokes the step."""
+        from vihds_tpu import parallel
+
+        def wrapped(*a, **k):
+            with parallel.use_mesh(self.mesh):
+                return fn(*a, **k)
+
+        return wrapped
 
     # ------------------------------------------------------------------- eval
     def _eval_full(self, params, host_data, n_samples, key, chunk=None, with_theta=True):
