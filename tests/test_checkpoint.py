@@ -76,3 +76,32 @@ def test_training_resume_continues(tmp_path, monkeypatch):
     assert results is not None
     ckpt_dir2 = os.path.join(settings2.trainer.tb_log_dir, "checkpoints_1_of_4")
     assert ckpt.latest_epoch(ckpt_dir2) == 4
+
+
+def test_resume_is_trajectory_faithful(tmp_path, monkeypatch):
+    """4 epochs straight vs 2 + checkpoint + resume + 2 must produce the SAME
+    validation-ELBO trajectory: the batch-permutation stream is derived from
+    (seed, epoch), so a resumed run replays exactly the batch orders the
+    uninterrupted run would have seen."""
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    from vihds_tpu.config import Trainer
+    from vihds_tpu.run_xval import run_on_split
+
+    def run(experiment, epochs, resume_from=None, ckpt_epoch=0):
+        a = make_args(spec("dr_constant_one.yaml"), epochs=epochs)
+        a.experiment = experiment
+        a.checkpoint_epoch = ckpt_epoch
+        a.resume_from = resume_from
+        s = Config(a)
+        s.trainer = Trainer(a, add_timestamp=False)
+        _, res = run_on_split(a, s)
+        return s, res
+
+    s1, res_straight = run("straight", 4)
+    s2, res_half = run("half", 2, ckpt_epoch=2)
+    ckpt_dir = os.path.join(s2.trainer.tb_log_dir, "checkpoints_1_of_4")
+    _, res_resumed = run("resumed", 4, resume_from=ckpt_dir)
+
+    assert len(res_straight.elbo_list) == 2  # evals at epochs 2 and 4
+    np.testing.assert_allclose(res_half.elbo_list, res_straight.elbo_list[:1], rtol=1e-6)
+    np.testing.assert_allclose(res_resumed.elbo_list, res_straight.elbo_list[1:], rtol=1e-6)

@@ -531,8 +531,14 @@ class Training:
                 start_epoch = int(state["extra"]["epoch"]) + 1
                 print("Resumed from %s at epoch %d" % (resume_from, start_epoch - 1))
 
-        rng = np.random.RandomState(seed)
         n_train = self.dataset_pair.n_train
+
+        def epoch_perm(e):
+            """Batch permutation for absolute epoch ``e``, derived from
+            (seed, e) alone — a resumed run therefore sees exactly the batch
+            orders the uninterrupted run would have seen (a single stateful
+            RNG stream cannot be fast-forwarded across --resume_from)."""
+            return np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32)).permutation(n_train)
         train_host = self.train_data
         times = jnp.asarray(train_host.times)
 
@@ -567,7 +573,7 @@ class Training:
             # grid -> one lax.scan dispatch covers every step up to the next
             # eval/checkpoint boundary (host+tunnel overhead is ~25x the
             # device compute per epoch otherwise — see BASELINE.md).
-            perms = np.stack([rng.permutation(n_train) for _ in range(n_ep)])
+            perms = np.stack([epoch_perm(e) for e in range(epoch, end_epoch + 1)])
             masks = np.ones((n_ep, n_batches * self.n_batch), np.float32)
             if pad_total:
                 masks[:, n_train:] = 0.0
