@@ -52,6 +52,39 @@ def test_pallas_matches_scan(setup, method):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
 
 
+def test_pallas_gradient_matches_scan(setup):
+    """The in-kernel backward sweep must reproduce the XLA scan path's
+    gradients w.r.t. theta-derived constants and the initial state."""
+    model, params, batch, th = setup
+    ode = model.ode_model
+    c = _dr_constants(th, batch.inputs, 1)
+    y0 = jnp.broadcast_to(
+        ode.initialize_state(params["dec"], th, batch.inputs, 3, 4), (3, 4, 8)
+    )
+
+    def loss_pallas(c, y0):
+        sol = pallas_ode.dr_constant_simulate(
+            c, y0, batch.times, method="midpoint", block_rows=8, interpret=True
+        )
+        return jnp.sum(sol[-1] ** 2) + jnp.sum(jnp.abs(sol[40]))
+
+    def loss_scan(c, y0):
+        from vihds_tpu.models.dr_constant import _dr_species_rhs
+
+        sol = integrate(lambda t, y: _dr_species_rhs(c, t, y), y0, batch.times, method="midpoint")
+        return jnp.sum(sol[-1] ** 2) + jnp.sum(jnp.abs(sol[40]))
+
+    (gc1, gy1) = jax.grad(loss_pallas, argnums=(0, 1))(c, y0)
+    (gc2, gy2) = jax.grad(loss_scan, argnums=(0, 1))(c, y0)
+    # tolerances cover accumulation-order differences between the in-kernel
+    # reverse sweep and XLA's scan transpose
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), rtol=1e-3, atol=1e-6)
+    for name in gc2:
+        a, b = np.asarray(gc1[name]), np.asarray(gc2[name])
+        assert np.isfinite(a).all(), name
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5, err_msg=name)
+
+
 def test_pallas_solver_routing(setup):
     """solver: pallas_midpoint routes through the kernel end-to-end."""
     model, params, batch, th = setup

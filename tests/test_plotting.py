@@ -84,7 +84,7 @@ def test_weighted_theta(synth):
         iws,
         theta,
         synth.devices,
-        columns2use=["a", "b"],
+        columns=["a", "b"],
     )
     assert f is not None
 

@@ -38,7 +38,9 @@ def test_hmc_refine(setup):
     assert np.isfinite(np.asarray(out.theta)).all()
     acc = np.asarray(out.accept_rate)
     assert (acc >= 0).all() and (acc <= 1).all()
-    assert acc.mean() > 0.05, "HMC never accepts — step size badly tuned"
+    # the dual-averaged step size should land well above a broken sampler's
+    # floor (the refine demo on a trained checkpoint reaches ~97% acceptance)
+    assert acc.mean() > 0.3, "HMC acceptance %.3f < 0.3 — step size badly tuned" % acc.mean()
     # constants untouched
     const_cols = np.where(program.is_constant)[0]
     for c in const_cols:

@@ -1,0 +1,190 @@
+"""Posterior-moment parity gate (BASELINE.json correctness north star).
+
+Trains the UNMODIFIED (shimmed) reference and this repo on the same spec at a
+matched regime and compares per-site posterior moments — the variational
+q-site parameters (mu, prec) at the best-validation epoch — within the
+Monte-Carlo error estimated from the across-seed spread.  Both
+implementations draw the SAME train/validation split (both seed numpy and
+permute identically), so local-site moments compare elementwise per
+validation datapoint.
+
+The relay half of the gate is impossible to run in the reference: its relay
+models do not construct (Relay_Constant passes 5 args to the 4-arg
+OdeFunc.__init__, reference models/relay_constant.py:17 vs vihds/ode.py:21,
+and Relay_Constant_Precisions calls the nonexistent init_with_params,
+models/relay_constant.py:201).  The dr_constant half is what this tool
+measures; see PARITY.md.
+
+Usage:
+  python tools/posterior_parity.py reference <seed> [epochs] [out_dir] [spec]
+  python tools/posterior_parity.py ours      <seed> [epochs] [out_dir] [spec]
+  python tools/posterior_parity.py compare   [out_dir]
+"""
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+DEFAULT_OUT = os.path.join(REPO, "reports", "posterior_parity")
+DEFAULT_SPEC = "dr_constant_one.yaml"
+DEFAULT_EPOCHS = 300
+
+
+def _save(out_dir, tag, seed, q_names, q_values, elbo):
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "%s_seed%d.npz" % (tag, seed))
+    np.savez(
+        path,
+        q_names=np.array(list(q_names), dtype=object),
+        q_values=np.array([np.asarray(v, dtype=np.float64) for v in q_values], dtype=object),
+        elbo=float(elbo),
+        allow_pickle=True,
+    )
+    print("saved %s (best-val elbo %.2f)" % (path, float(elbo)))
+
+
+def run_reference(seed, epochs, out_dir, spec):
+    sys.path.insert(0, HERE)
+    import bench_reference  # installs munch/torchdiffeq shims on import
+
+    sys.path.insert(0, bench_reference.REFERENCE)
+    os.environ["INFERENCE_DATA_DIR"] = os.path.join(bench_reference.REFERENCE, "data")
+
+    import numpy as np
+    import vihds.datasets as ref_datasets
+
+    # ragged-merge fix (modern numpy crashes on the reference's np.array of
+    # unequal-length lists; same shim as tools/train_reference.py)
+    def merge_observations(times_list, observations_list):
+        times_arr, obs_arr = list(times_list), list(observations_list)
+        loc = int(np.argmin([len(t) for t in times_arr]))
+        chosen = times_arr[loc]
+        for i, (t, obs) in enumerate(zip(times_arr, obs_arr)):
+            obs_arr[i] = obs[:, :, [ref_datasets.find_nearest(t, ti) for ti in chosen]]
+        return chosen, np.concatenate(obs_arr)
+
+    ref_datasets.merge_observations = merge_observations
+
+    from vihds.config import Config
+    from vihds.run_xval import create_parser, run_on_split
+
+    args = create_parser(True).parse_args([os.path.join(bench_reference.REFERENCE, "specs", spec)])
+    args.seed = seed
+    args.epochs = epochs
+    args.test_epoch = 20
+    args.plot_epoch = 0
+    args.train_samples = 200
+    args.test_samples = 200  # q moments are encoder outputs; K only adds eval cost
+    settings = Config(args)
+    settings.trainer = None
+    _, val_results = run_on_split(args, settings)
+    _save(out_dir, "reference", seed, val_results.q_names, val_results.q_values, val_results.elbo)
+
+
+def run_ours(seed, epochs, out_dir, spec):
+    from vihds_tpu.config import Config
+    from vihds_tpu.run_xval import create_parser, run_on_split
+
+    args = create_parser(True).parse_args([os.path.join(REPO, "specs", spec)])
+    args.seed = seed
+    args.epochs = epochs
+    args.test_epoch = 20
+    args.plot_epoch = 0
+    args.train_samples = 200
+    args.test_samples = 200
+    settings = Config(args)
+    settings.trainer = None
+    _, val_results = run_on_split(args, settings)
+    _save(out_dir, "ours", seed, val_results.q_names, val_results.q_values, val_results.elbo)
+
+
+def _collect(out_dir, tag):
+    import glob
+
+    import numpy as np
+
+    runs = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "%s_seed*.npz" % tag))):
+        with np.load(path, allow_pickle=True) as z:
+            runs.append((list(z["q_names"]), list(z["q_values"]), float(z["elbo"])))
+    if not runs:
+        raise SystemExit("no %s_seed*.npz under %s" % (tag, out_dir))
+    return runs
+
+
+def compare(out_dir):
+    import numpy as np
+
+    ref_runs = _collect(out_dir, "reference")
+    our_runs = _collect(out_dir, "ours")
+    names = ref_runs[0][0]
+    assert names == our_runs[0][0], "q-site name sets differ"
+
+    def stack(runs, i):
+        return np.stack([np.atleast_1d(np.asarray(r[1][i], dtype=np.float64)) for r in runs])
+
+    lines = [
+        "# Posterior-moment parity: reference (torch CPU) vs this repo",
+        "",
+        "Spec dr_constant_one, matched regime (epochs, K, LR schedule), %d+%d seeds."
+        % (len(ref_runs), len(our_runs)),
+        "Same numpy-seeded split => local sites compare elementwise over the",
+        "validation datapoints.  z = |mean_ref - mean_ours| / sqrt(se_ref^2 + se_ours^2)",
+        "with se the across-seed standard error; 'pass' = median z over elements <= 3.",
+        "",
+        "| site tensor | arity | mean (ref) | mean (ours) | median z | max z | pass |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    n_pass = n_tot = 0
+    for i, name in enumerate(names):
+        if name.endswith(".value"):
+            continue  # constants
+        R = stack(ref_runs, i)  # [seeds, arity]
+        O = stack(our_runs, i)
+        if R.shape[1] != O.shape[1]:
+            lines.append("| %s | shape mismatch %s vs %s | | | | | FAIL |" % (name, R.shape, O.shape))
+            n_tot += 1
+            continue
+        mr, mo = R.mean(0), O.mean(0)
+        se = np.sqrt(R.var(0, ddof=1) / R.shape[0] + O.var(0, ddof=1) / O.shape[0])
+        z = np.abs(mr - mo) / np.maximum(se, 1e-12)
+        ok = float(np.median(z)) <= 3.0
+        n_pass += ok
+        n_tot += 1
+        lines.append(
+            "| %s | %d | %.4f | %.4f | %.2f | %.2f | %s |"
+            % (name, R.shape[1], mr.mean(), mo.mean(), np.median(z), z.max(), "yes" if ok else "NO")
+        )
+    lines += [
+        "",
+        "**%d / %d site tensors within MC error (median z <= 3).**" % (n_pass, n_tot),
+        "",
+        "Best-val ELBO per seed — reference: %s; ours: %s"
+        % ([round(r[2], 1) for r in ref_runs], [round(r[2], 1) for r in our_runs]),
+        "",
+    ]
+    report = "\n".join(lines)
+    out = os.path.join(out_dir, "REPORT.md")
+    with open(out, "w") as f:
+        f.write(report)
+    print(report)
+    print("written to", out)
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "compare":
+        compare(sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT)
+        return
+    seed = int(sys.argv[2])
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_EPOCHS
+    out_dir = sys.argv[4] if len(sys.argv) > 4 else DEFAULT_OUT
+    spec = sys.argv[5] if len(sys.argv) > 5 else DEFAULT_SPEC
+    {"reference": run_reference, "ours": run_ours}[mode](seed, epochs, out_dir, spec)
+
+
+if __name__ == "__main__":
+    main()

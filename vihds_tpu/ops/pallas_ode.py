@@ -17,6 +17,8 @@ packed as one [NC, R] array so the kernel reads a single [NC, block] VMEM
 tile.  All math is elementwise on [block]-shaped vectors (VPU).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -81,6 +83,27 @@ def _dr_rhs_cols(c, t, y):
     )
 
 
+def _one_step(c, t1, t2, y, method):
+    """One fixed-grid update on [S, block] columns (shared by the forward
+    kernel and the backward kernel's per-step VJP)."""
+    h = t2 - t1
+    if method == "modeuler":
+        f1 = _dr_rhs_cols(c, t1, y)
+        f2 = _dr_rhs_cols(c, t2, y + h * f1)
+        return y + 0.5 * h * (f1 + f2)
+    if method == "midpoint":
+        f1 = _dr_rhs_cols(c, t1, y)
+        f2 = _dr_rhs_cols(c, t1 + 0.5 * h, y + 0.5 * h * f1)
+        return y + h * f2
+    if method == "rk4":
+        k1 = _dr_rhs_cols(c, t1, y)
+        k2 = _dr_rhs_cols(c, t1 + 0.5 * h, y + 0.5 * h * k1)
+        k3 = _dr_rhs_cols(c, t1 + 0.5 * h, y + 0.5 * h * k2)
+        k4 = _dr_rhs_cols(c, t2, y + h * k3)
+        return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    raise ValueError(method)
+
+
 def _make_kernel(n_times, method):
     def kernel(consts_ref, y0_ref, times_ref, out_ref):
         c = {name: consts_ref[i, :] for i, name in enumerate(DR_CONST_NAMES)}
@@ -88,25 +111,7 @@ def _make_kernel(n_times, method):
         out_ref[0] = y
 
         def step(i, y):
-            t1 = times_ref[i, 0]
-            t2 = times_ref[i + 1, 0]
-            h = t2 - t1
-            if method == "modeuler":
-                f1 = _dr_rhs_cols(c, t1, y)
-                f2 = _dr_rhs_cols(c, t2, y + h * f1)
-                y = y + 0.5 * h * (f1 + f2)
-            elif method == "midpoint":
-                f1 = _dr_rhs_cols(c, t1, y)
-                f2 = _dr_rhs_cols(c, t1 + 0.5 * h, y + 0.5 * h * f1)
-                y = y + h * f2
-            elif method == "rk4":
-                k1 = _dr_rhs_cols(c, t1, y)
-                k2 = _dr_rhs_cols(c, t1 + 0.5 * h, y + 0.5 * h * k1)
-                k3 = _dr_rhs_cols(c, t1 + 0.5 * h, y + 0.5 * h * k2)
-                k4 = _dr_rhs_cols(c, t2, y + h * k3)
-                y = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-            else:
-                raise ValueError(method)
+            y = _one_step(c, times_ref[i, 0], times_ref[i + 1, 0], y, method)
             out_ref[i + 1] = y
             return y
 
@@ -115,9 +120,103 @@ def _make_kernel(n_times, method):
     return kernel
 
 
+def _make_bwd_kernel(n_times, method):
+    """Reverse sweep: walk the stored trajectory backwards, re-tracing each
+    step's VJP in-kernel (trajectory + cotangents stay VMEM-resident; HBM
+    never sees solver residuals — the Pallas analogue of the lax.scan path's
+    jax.checkpoint remat)."""
+    n_const = len(DR_CONST_NAMES)
+
+    def kernel(consts_ref, times_ref, traj_ref, g_ref, dc_ref, dy0_ref):
+        cvals = tuple(consts_ref[i, :] for i in range(n_const))
+        for j in range(n_const):
+            dc_ref[j, :] = jnp.zeros_like(dc_ref[j, :])
+
+        def body(k, a):
+            i = n_times - 2 - k
+            y_i = traj_ref[i]
+            t1 = times_ref[i, 0]
+            t2 = times_ref[i + 1, 0]
+
+            def step_fn(y, cv):
+                c = {name: cv[j] for j, name in enumerate(DR_CONST_NAMES)}
+                return _one_step(c, t1, t2, y, method)
+
+            _, vjp_fn = jax.vjp(step_fn, y_i, cvals)
+            a_y, a_c = vjp_fn(a)
+            for j in range(n_const):
+                dc_ref[j, :] += a_c[j]
+            return a_y + g_ref[i]
+
+        a0 = g_ref[n_times - 1]
+        dy0_ref[:] = jax.lax.fori_loop(0, n_times - 1, body, a0)
+
+    return kernel
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _integrate_padded(packed, y0_flat, times2d, method, block, interpret):
+    """Fused forward on padded [NC, Rp] constants / [S, Rp] state columns."""
+    NC, Rp = packed.shape
+    S = y0_flat.shape[0]
+    T = times2d.shape[0]
+    return pl.pallas_call(
+        _make_kernel(T, method),
+        grid=(Rp // block,),
+        in_specs=[
+            pl.BlockSpec((NC, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, S, Rp), y0_flat.dtype),
+        interpret=interpret,
+    )(packed, y0_flat, times2d)
+
+
+def _integrate_padded_fwd(packed, y0_flat, times2d, method, block, interpret):
+    out = _integrate_padded(packed, y0_flat, times2d, method, block, interpret)
+    return out, (packed, times2d, out)
+
+
+def _integrate_padded_bwd(method, block, interpret, res, g):
+    packed, times2d, traj = res
+    NC, Rp = packed.shape
+    T, S = traj.shape[0], traj.shape[1]
+    dc, dy0 = pl.pallas_call(
+        _make_bwd_kernel(T, method),
+        grid=(Rp // block,),
+        in_specs=[
+            pl.BlockSpec((NC, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NC, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NC, Rp), packed.dtype),
+            jax.ShapeDtypeStruct((S, Rp), packed.dtype),
+        ],
+        interpret=interpret,
+    )(packed, times2d, traj, g)
+    return dc, dy0, jnp.zeros_like(times2d)
+
+
+_integrate_padded.defvjp(_integrate_padded_fwd, _integrate_padded_bwd)
+
+
 def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512, interpret=False):
     """Fused integration.  ``constants``: dict name -> [B, K]-broadcastable;
-    ``y0``: [B, K, 8]; returns [T, B, K, 8] (same layout as ops.solvers)."""
+    ``y0``: [B, K, 8]; returns [T, B, K, 8] (same layout as ops.solvers).
+
+    Differentiable: reverse-mode rides the in-kernel backward sweep
+    (_make_bwd_kernel); gradients flow to ``constants`` (and through them to
+    theta) and to ``y0``.  The pack/pad/unpack around the kernel is plain
+    XLA, so its VJP is automatic.
+    """
     B, Kn, S = y0.shape
     assert S == N_SPECIES
     R = B * Kn
@@ -133,20 +232,7 @@ def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512
     y0_flat = y0.reshape(R, S).T  # [S, R] — species on sublanes, rows on lanes
     if pad:
         y0_flat = jnp.pad(y0_flat, ((0, 0), (0, pad)), constant_values=1e-3)
-    T = times.shape[0]
-    times2d = times.reshape(T, 1)
+    times2d = times.reshape(times.shape[0], 1)
 
-    grid = (Rp // block,)
-    out = pl.pallas_call(
-        _make_kernel(T, method),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((len(DR_CONST_NAMES), block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, S, Rp), y0.dtype),
-        interpret=interpret,
-    )(packed, y0_flat, times2d)
-    return jnp.moveaxis(out[:, :, :R], 1, 2).reshape(T, B, Kn, S)
+    out = _integrate_padded(packed, y0_flat, times2d, method, block, interpret)
+    return jnp.moveaxis(out[:, :, :R], 1, 2).reshape(times.shape[0], B, Kn, S)

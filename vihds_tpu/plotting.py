@@ -1,10 +1,15 @@
 """Reporting figures for training and cross-validation results.
 
-Figure-family parity with reference vihds/plotting.py (prediction-vs-data
+Figure-family parity with the reference's reporting suite (prediction-vs-data
 summary, weighted-theta pairplots, species trajectories, treatment
 dose-response, per-device fit summaries, per-device individual fits, and
-global/variable posterior-parameter plots), re-written around small shared
-helpers.  All inputs are host numpy arrays.
+global/variable posterior-parameter plots — reference vihds/plotting.py), but
+the layout code is this repo's own: every grid figure is built on the
+``PanelGrid`` helper below, and the per-series "individual" figures use a
+``GridSpec`` with a spacer column instead of hand-placed axes.  Figures are
+content-equivalent, not pixel-identical, to the reference (see PARITY.md).
+
+All inputs are host numpy arrays.
 """
 
 import matplotlib
@@ -16,487 +21,498 @@ import numpy as np  # noqa: E402
 import seaborn as sns  # noqa: E402
 from matplotlib import cm  # noqa: E402
 
-FS = 14
+FS = 14  # base font size for labels/titles
 
 
-def _ax(axs, i, j, nrows):
-    return axs[i, j] if nrows > 1 else axs[j]
+# --------------------------------------------------------------------------- #
+# Layout helpers
+# --------------------------------------------------------------------------- #
+class PanelGrid:
+    """A rows x cols grid of panels with row labels, column titles, and one
+    shared outer x/y label — the layout idiom every grid figure here shares.
+
+    Wraps ``plt.subplots`` so callers never special-case the 1-row shape, and
+    owns the frameless overlay axis used for the shared outer labels.
+    """
+
+    def __init__(self, n_rows, n_cols, figsize, share_x=True, share_y=False):
+        self.fig, axes = plt.subplots(
+            n_rows, n_cols, sharex=share_x, sharey=share_y, figsize=figsize
+        )
+        self.axes = np.asarray(axes).reshape(n_rows, n_cols)
+        self.n_rows, self.n_cols = n_rows, n_cols
+
+    def panel(self, row, col):
+        return self.axes[row, col]
+
+    def row_label(self, row, text, **kw):
+        kw.setdefault("fontsize", FS)
+        self.axes[row, 0].set_ylabel(text, **kw)
+
+    def col_title(self, col, text, **kw):
+        kw.setdefault("fontsize", FS)
+        self.axes[0, col].set_title(text, **kw)
+
+    def hide_panel(self, row, col):
+        self.axes[row, col].set_visible(False)
+
+    def outer_labels(self, xlabel=None, ylabel=None, x_pad=7, y_pad=0):
+        """One shared axis label for the whole grid, via a frameless overlay."""
+        overlay = self.fig.add_subplot(111, frameon=False)
+        overlay.tick_params(labelcolor="none", top=False, bottom=False, left=False, right=False)
+        if xlabel:
+            overlay.set_xlabel(xlabel, fontsize=FS, labelpad=x_pad)
+        if ylabel:
+            overlay.set_ylabel(ylabel, fontsize=FS, labelpad=y_pad)
+        return overlay
+
+    def done(self, tight=True):
+        if tight:
+            self.fig.tight_layout()
+        sns.despine(fig=self.fig)
+        return self.fig
 
 
+def credible_band(ax, t, mid, half_width, **style):
+    """Shaded mid +- half_width band (the posterior-predictive 2-sigma band)."""
+    style.setdefault("alpha", 0.1)
+    ax.fill_between(t, mid - half_width, mid + half_width, **style)
+
+
+def rows_of(device_ids, device):
+    """Row indices of one device's time series."""
+    return np.flatnonzero(np.asarray(device_ids) == device)
+
+
+def from_log1p(x):
+    """Invert the dataset's log(1+x) treatment transform."""
+    return np.exp(x) - 1.0
+
+
+# --------------------------------------------------------------------------- #
+# Training-time / xval summary figures
+# --------------------------------------------------------------------------- #
 def plot_prediction_summary(
-    device_names, signal_names, times, OBS, MU, STD, device_ids, predict_style, fixYaxis=False
+    device_names, signal_names, times, observed, pred_mu, pred_std, device_ids, style, clamp_y=False
 ):
-    """Data (red) vs predictive mean +- 2 std per device x signal
-    (parity: vihds/plotting.py:16-53)."""
-    nplots = MU.shape[1]
-    unique_devices = np.unique(device_ids)
-    ndevices = len(unique_devices)
-
-    f, axs = plt.subplots(ndevices, nplots, sharex=True, figsize=(10, 2 * ndevices))
-    for iu, device_id in enumerate(unique_devices):
-        locs = np.where(device_ids == device_id)[0]
-        for idx in range(nplots):
-            ax = _ax(axs, iu, idx, ndevices)
-            w_mu = MU[locs, idx, :]
-            w_std = STD[locs, idx, :]
-            for mu, std in zip(w_mu, w_std):
-                ax.fill_between(times, mu - 2 * std, mu + 2 * std, color="grey", alpha=0.1)
-            ax.plot(times, OBS[locs, idx, :].T, "r-", lw=1, alpha=1)
-            ax.plot(times, w_mu.T, predict_style, lw=1, alpha=0.75, color="k")
-            if fixYaxis:
+    """Observed data (red) vs posterior-predictive mean +- 2 std, one panel
+    per device x signal (capability: reference prediction summary)."""
+    present = np.unique(device_ids)
+    grid = PanelGrid(len(present), pred_mu.shape[1], figsize=(10, 2 * len(present)))
+    for r, device in enumerate(present):
+        rows = rows_of(device_ids, device)
+        for c in range(pred_mu.shape[1]):
+            ax = grid.panel(r, c)
+            for mu, sd in zip(pred_mu[rows, c], pred_std[rows, c]):
+                credible_band(ax, times, mu, 2 * sd, color="grey")
+            ax.plot(times, observed[rows, c].T, "r-", lw=1)
+            ax.plot(times, pred_mu[rows, c].T, style, lw=1, alpha=0.75, color="k")
+            if clamp_y:
                 ax.set_ylim(-0.2, 1.2)
-            if iu == ndevices - 1:
+            if r == grid.n_rows - 1:
                 ax.set_xlabel("Time (h)")
-            if iu == 0:
-                ax.set_title(signal_names[idx])
-            if idx == 0:
-                ax.set_ylabel(device_names[device_id])
-    plt.tight_layout()
-    sns.despine()
-    return f
+        grid.row_label(r, device_names[device], fontsize=None)
+    for c, signal in enumerate(signal_names):
+        grid.col_title(c, signal, fontsize=None)
+    return grid.done()
 
 
 def plot_weighted_theta(
     theta_names,
-    TR_iws,
-    TR_theta,
-    TR_device_ids,
-    VL_iws,
-    VL_theta,
-    VL_device_ids,
-    columns2use,
+    train_weights,
+    train_theta,
+    train_device_ids,
+    valid_weights,
+    valid_theta,
+    valid_device_ids,
+    columns,
     sample=True,
     nsamples=100,
 ):
-    """Pairplot of importance-(re)weighted theta samples, coloured by device
-    (parity: vihds/plotting.py:56-129)."""
+    """Pairplot of importance-(re)weighted theta samples coloured by device.
+
+    ``train_theta``: [n_theta, L, K]; ``train_weights``: [L, K] normalised
+    importance weights.  ``sample=True`` resamples each series' K draws by
+    its weights; otherwise uniformly.
+    """
     import pandas as pd
 
-    def resample(iws_matrix):
-        rows = []
-        for iws in iws_matrix:
-            if sample:
-                rows.append(np.random.choice(len(iws), nsamples, p=iws))
-            else:
-                rows.append(np.random.choice(len(iws), nsamples))
-        return rows
+    L, K = train_weights.shape
+    picks = np.stack(
+        [
+            np.random.choice(K, nsamples, p=w if sample else None)
+            for w in train_weights
+        ]
+    )  # [L, nsamples]
+    take = np.arange(L)[:, None], picks
 
-    TR_samples = resample(TR_iws)
-    n_train = TR_iws.shape[0]
-    TR_devices = np.tile(np.asarray(TR_device_ids).reshape((n_train, 1)), [1, nsamples])
+    frame = {}
+    for i in np.argsort(theta_names):
+        frame[theta_names[i]] = train_theta[i][take].ravel()
+    frame["device"] = np.broadcast_to(
+        np.asarray(train_device_ids)[:, None], (L, nsamples)
+    ).ravel()
 
-    names, cols = [], []
-    for theta_idx in np.argsort(theta_names):
-        vals = [values[s] for s, values in zip(TR_samples, TR_theta[theta_idx])]
-        names.append(theta_names[theta_idx])
-        cols.append(np.array(vals).flatten())
-    names.append("device")
-    cols.append(TR_devices.flatten())
-
-    df = pd.DataFrame(np.array(cols, dtype=float).T, columns=names)
     sns.set(style="ticks")
-    g = sns.PairGrid(df, hue="device", vars=columns2use)
-    g = g.map_diag(sns.kdeplot, fill=True, alpha=0.5)
-    g = g.map_offdiag(sns.scatterplot, s=20, alpha=0.25, edgecolor="k", linewidth=0.5)
-    g = g.add_legend()
-    return g.fig
+    pair = sns.PairGrid(pd.DataFrame(frame, dtype=float), hue="device", vars=columns)
+    pair.map_diag(sns.kdeplot, fill=True, alpha=0.5)
+    pair.map_offdiag(sns.scatterplot, s=20, alpha=0.25, edgecolor="k", linewidth=0.5)
+    pair.add_legend()
+    return pair.fig
 
 
 def species_summary(
     species_names, treatments, device_ids, times, iw_states, devices, settings, normalise=True
 ):
-    """Simulated (latent) species trajectories per device
-    (parity: vihds/plotting.py:132-190)."""
-    ndevices = len(devices)
-    nplots = iw_states.shape[1]
-    colors = "grbcmyk"
-    divisors = [np.max(iw_states[:, idx, :]) if normalise else 1.0 for idx in range(nplots)]
+    """Inferred (latent) species trajectories, one panel per device x state."""
+    n_states = iw_states.shape[1]
+    condition_palette = "grbcmyk"
+    scale = np.array(
+        [iw_states[:, s, :].max() if normalise else 1.0 for s in range(n_states)]
+    )
 
-    f, axs = plt.subplots(ndevices, nplots, sharex=True, sharey=normalise, figsize=(14, 2 * ndevices))
-    for iu, device_id in enumerate(devices):
-        for idx in range(nplots):
-            ax = _ax(axs, iu, idx, ndevices)
-            if settings.separate_conditions is True:
-                for i, _ in enumerate(settings.conditions):
-                    locs = np.where((device_ids == device_id) & (treatments[:, i] > 0.0))[0]
-                    mus = iw_states[locs, idx, :] / divisors[idx]
-                    ax.plot(np.tile(times, [len(locs), 1]).T, mus.T, "-", lw=1, alpha=0.5, color=colors[i])
-            else:
-                locs = np.where(device_ids == device_id)[0]
-                mus = iw_states[locs, idx, :] / divisors[idx]
-                ax.plot(np.tile(times, [len(locs), 1]).T, mus.T, "-", lw=1, color="k")
+    grid = PanelGrid(
+        len(devices), n_states, figsize=(14, 2 * len(devices)), share_y=normalise
+    )
+    for r, device in enumerate(devices):
+        device_rows = rows_of(device_ids, device)
+        if settings.separate_conditions:
+            groups = [
+                (condition_palette[ci], device_rows[treatments[device_rows, ci] > 0.0])
+                for ci in range(len(settings.conditions))
+            ]
+        else:
+            groups = [("k", device_rows)]
+        for s in range(n_states):
+            ax = grid.panel(r, s)
+            for color, rows in groups:
+                ax.plot(
+                    np.broadcast_to(times, (len(rows),) + times.shape).T,
+                    (iw_states[rows, s, :] / scale[s]).T,
+                    "-",
+                    lw=1,
+                    alpha=0.5 if settings.separate_conditions else 1.0,
+                    color=color,
+                )
             if normalise:
                 ax.set_ylim(-0.1, 1.1)
-            if iu == 0:
-                if idx < len(species_names):
-                    ax.set_title(species_names[idx])
-                else:
-                    ax.set_title("Latent %d" % (idx - len(species_names)))
             ax.set_xticks([0, 4, 8, 12, 16])
-        ax0 = _ax(axs, iu, 0, ndevices)
-        ax0.set_ylabel(settings.pretty_devices[device_id], labelpad=20, fontweight="bold", fontsize=FS)
-    sns.despine()
-    plt.tight_layout()
-    f.add_subplot(111, frameon=False)
-    plt.tick_params(labelcolor="none", top=False, bottom=False, left=False, right=False)
-    plt.xlabel("Time (h)", fontsize=FS, labelpad=7)
-    plt.ylabel("Normalized output" if ndevices > 1 else "Norm. output", fontsize=FS, labelpad=0)
-    return f
+        grid.row_label(r, settings.pretty_devices[device], labelpad=20, fontweight="bold")
+    for s in range(n_states):
+        title = species_names[s] if s < len(species_names) else "Latent %d" % (s - len(species_names))
+        grid.col_title(s, title, fontsize=None)
+    grid.done()
+    grid.outer_labels(
+        "Time (h)", "Normalized output" if len(devices) > 1 else "Norm. output"
+    )
+    return grid.fig
 
 
 def xval_treatments(res, devices):
-    """Dose-response: final predicted vs observed points over input levels
-    (parity: vihds/plotting.py:193-256)."""
-    nplots = len(res.settings.signals)
-    ndev = len(devices)
-    colors = ["g", "r", "b"]
-    edges = ["darkgreen", "darkred", "darkblue"]
+    """Dose-response: final-timepoint predictions (dots +- std) and data (x)
+    against each input concentration, per device x signal."""
+    signals = res.settings.signals
+    fills = ["g", "r", "b"]
+    lines = ["darkgreen", "darkred", "darkblue"]
 
-    f, axs = plt.subplots(ndev, nplots, sharex=True, sharey=True, figsize=(9, 2.2 * ndev))
-    for iu, device_id in enumerate(devices):
-        locs = np.where(res.devices == device_id)[0]
-        input_values = [
-            (np.exp(res.treatments[:, ci]) - 1)[locs] for ci, _ in enumerate(res.settings.conditions)
-        ]
-        for j, signal in enumerate(res.settings.signals):
-            ax = _ax(axs, iu, j, ndev)
-            mu = res.iw_predict_mu[locs, j, -1]
-            std = res.iw_predict_std[locs, j, -1]
-            for ci, cvalues in enumerate(input_values):
-                ax.errorbar(cvalues, mu, yerr=std, fmt="o", ms=5, lw=1, mec=edges[ci % 3], color=colors[ci % 3], zorder=ci)
-                ax.semilogx(cvalues, res.X_obs[locs, j, -1], "x", ms=5, lw=1, color=edges[ci % 3], zorder=ci + 20)
+    grid = PanelGrid(len(devices), len(signals), figsize=(9, 2.2 * len(devices)), share_y=True)
+    for r, device in enumerate(devices):
+        rows = rows_of(res.devices, device)
+        doses = from_log1p(res.treatments[rows, :])  # [n_rows, n_conditions]
+        for c, signal in enumerate(signals):
+            ax = grid.panel(r, c)
+            final_mu = res.iw_predict_mu[rows, c, -1]
+            final_std = res.iw_predict_std[rows, c, -1]
+            for ci in range(doses.shape[1]):
+                ax.errorbar(
+                    doses[:, ci], final_mu, yerr=final_std, fmt="o", ms=5, lw=1,
+                    mec=lines[ci % 3], color=fills[ci % 3], zorder=ci,
+                )
+                ax.semilogx(
+                    doses[:, ci], res.X_obs[rows, c, -1], "x", ms=5, lw=1,
+                    color=lines[ci % 3], zorder=ci + 20,
+                )
             ax.set_ylim(-0.1, 1.1)
-            ax.tick_params(axis="both", which="major", labelsize=FS)
             ax.set_xticks(np.logspace(0, 4, 3))
-            if j == 0:
-                ax.set_ylabel(res.settings.devices[iu], labelpad=25, fontweight="bold", fontsize=FS)
-            if iu == 0:
-                ax.set_title(signal, fontsize=FS)
+            ax.tick_params(axis="both", which="major", labelsize=FS)
+        grid.row_label(r, res.settings.devices[r], labelpad=25, fontweight="bold")
+    for c, signal in enumerate(signals):
+        grid.col_title(c, signal)
+    grid.panel(0, len(signals) - 1).legend(
+        labels=[c + " (data)" for c in res.settings.conditions]
+        + [c + " (model)" for c in res.settings.conditions]
+    )
+    grid.outer_labels(
+        " / ".join(res.settings.conditions),
+        "Normalized fluorescence" if len(devices) > 1 else "Norm. fluorescence",
+        y_pad=7,
+    )
+    sns.despine(fig=grid.fig)
+    return grid.fig
 
-    ax = _ax(axs, 0, nplots - 1, ndev)
-    dstr = [s + " (data)" for s in res.settings.conditions]
-    mstr = [s + " (model)" for s in res.settings.conditions]
-    ax.legend(labels=dstr + mstr)
 
-    f.add_subplot(111, frameon=False)
-    plt.tick_params(labelcolor="none", top=False, bottom=False, left=False, right=False)
-    plt.xlabel(" / ".join(res.settings.conditions), fontsize=FS, labelpad=7)
-    plt.ylabel("Normalized fluorescence" if ndev > 1 else "Norm. fluorescence", fontsize=FS, labelpad=7)
-    sns.despine()
-    return f
+def _unique_treatment_rows(res, device, condition=None):
+    """One representative series per distinct treatment of ``device`` —
+    restricted to series where ``condition`` is active, if given."""
+    rows = rows_of(res.devices, device)
+    if condition is None:
+        _, first = np.unique(res.treatments[rows, :], axis=0, return_index=True)
+    else:
+        rows = rows[res.treatments[rows, condition] > 0.0]
+        _, first = np.unique(res.treatments[rows, condition], return_index=True)
+    return rows[first]
 
 
 def xval_fit_summary(res, device_id, separatedInputs=False):
-    """Per-device fit summary across unique treatments
-    (parity: vihds/plotting.py:259-312)."""
-    nplots = len(res.settings.signals)
-    all_locs = []
-    if separatedInputs is True:
-        nrows = len(res.settings.conditions)
-        for i in range(nrows):
-            dev_locs = np.where((res.devices == device_id) & (res.treatments[:, i] > 0.0))[0]
-            _, indices = np.unique(res.treatments[dev_locs, i], return_index=True)
-            all_locs.append(dev_locs[indices])
-        f, axs = plt.subplots(
-            nrows, nplots, sharex=True, sharey=True, figsize=(2.2 * nplots, 1.6 * nrows + 1.2)
-        )
+    """Per-device fit over its distinct treatments (rainbow = dose order)."""
+    signals = res.settings.signals
+    if separatedInputs:
+        row_sets = [
+            _unique_treatment_rows(res, device_id, condition=ci)
+            for ci in range(len(res.settings.conditions))
+        ]
+        figsize = (2.2 * len(signals), 1.6 * len(row_sets) + 1.2)
     else:
-        nrows = 1
-        dev_locs = np.where(res.devices == device_id)[0]
-        _, indices = np.unique(res.treatments[dev_locs, :], return_index=True, axis=0)
-        all_locs.append(dev_locs[indices])
-        f, axs = plt.subplots(1, nplots, sharey=True, figsize=(2.2 * nplots, 2.8))
+        row_sets = [_unique_treatment_rows(res, device_id)]
+        figsize = (2.2 * len(signals), 2.8)
 
-    for i, locs in enumerate(all_locs):
-        colors = [cm.rainbow(x) for x in np.linspace(0, 1, np.shape(locs)[0])]
-        for idx in range(nplots):
-            ax = _ax(axs, i, idx, nrows)
-            w_mu = res.iw_predict_mu[locs, idx, :]
-            w_std = res.iw_predict_std[locs, idx, :]
-            ax.set_prop_cycle("color", colors)
-            for mu, std in zip(w_mu, w_std):
-                ax.fill_between(res.times, mu - 2 * std, mu + 2 * std, alpha=0.1)
-            ax.plot(res.times, res.X_obs[locs, idx, :].T, ".", alpha=1, markersize=2)
-            ax.plot(res.times, w_mu.T, "-", lw=2, alpha=0.75)
+    grid = PanelGrid(len(row_sets), len(signals), figsize=figsize, share_y=True)
+    for r, rows in enumerate(row_sets):
+        dose_colors = cm.rainbow(np.linspace(0, 1, len(rows)))
+        for c in range(len(signals)):
+            ax = grid.panel(r, c)
+            ax.set_prop_cycle("color", list(dose_colors))
+            for mu, sd in zip(res.iw_predict_mu[rows, c], res.iw_predict_std[rows, c]):
+                credible_band(ax, res.times, mu, 2 * sd)
+            ax.plot(res.times, res.X_obs[rows, c].T, ".", markersize=2)
+            ax.plot(res.times, res.iw_predict_mu[rows, c].T, "-", lw=2, alpha=0.75)
             ax.set_xlim(0.0, 17)
             ax.set_xticks([0, 5, 10, 15])
             ax.set_ylim(-0.2, 1.2)
-            if (idx == 0) and (nrows > 1):
-                ax.set_ylabel(
-                    res.settings.conditions[i] + " dilution", labelpad=25, fontweight="bold", fontsize=FS
-                )
-            if i == 0:
-                ax.set_title(res.settings.signals[idx], fontsize=FS)
-
-    f.add_subplot(111, frameon=False)
-    plt.tick_params(labelcolor="none", top=False, bottom=False, left=False, right=False)
-    plt.xlabel("Time (h)", fontsize=FS, labelpad=7)
-    plt.ylabel("Normalized output", fontsize=FS, labelpad=7)
-    plt.tight_layout()
-    sns.despine()
-    return f
+        if len(row_sets) > 1:
+            grid.row_label(
+                r, res.settings.conditions[r] + " dilution", labelpad=25, fontweight="bold"
+            )
+    for c, signal in enumerate(signals):
+        grid.col_title(c, signal)
+    grid.outer_labels("Time (h)", "Normalized output", y_pad=7)
+    return grid.done()
 
 
 def gen_treatment_str(conditions, treatments, unit=None):
-    """(parity: vihds/plotting.py:315-326)"""
-    out = []
-    for k, v in zip(conditions, treatments):
-        val = np.exp(v) - 1.0
-        vstr = ("%s = %1.1f" if 0.0 < val < 1.0 else "%s = %1.0f") % (k, val)
-        if unit is not None:
-            vstr = "%s %s" % (vstr, unit)
-        out.append(vstr)
-    return "\n".join(out)
+    """Human-readable 'C6 = 25  C12 = 0' label for one series' treatments."""
+    parts = []
+    for name, logged in zip(conditions, treatments):
+        value = from_log1p(logged)
+        fmt = "%1.1f" if 0.0 < value < 1.0 else "%1.0f"
+        parts.append(("%s = " + fmt + ("" if unit is None else " " + unit)) % (name, value))
+    return "\n".join(parts)
 
 
-def _individual_panel(f, res, loc, idx, maxi, pos, color, treatment_str, show_title, nplots_geom):
-    nrows_geom, panel_index = nplots_geom
-    ax = f.add_subplot(nrows_geom, panel_index[0], panel_index[1])
-    ax.set_position(pos)
-    mu = res.iw_predict_mu[loc, idx, :]
-    std = res.iw_predict_std[loc, idx, :]
-    ax.fill_between(res.times, (mu - 2 * std) / maxi, (mu + 2 * std) / maxi, alpha=0.25, color=color)
-    ax.plot(res.times, res.X_obs[loc, idx, :] / maxi, "k.", markersize=2)
-    ax.plot(res.times, mu / maxi, "-", lw=2, alpha=0.75, color=color)
-    ax.set_xlim(0.0, 17)
-    ax.set_xticks([0, 5, 10, 15])
-    ax.set_ylim(-0.2, 1.2)
-    ax.tick_params(axis="both", which="major", labelsize=FS)
-    if show_title:
-        plt.title(res.settings.signals[idx], fontsize=FS)
-    ax.set_xticklabels([])
-    if idx == 0:
-        ax.set_ylabel(treatment_str, labelpad=25, fontsize=FS - 2)
-    else:
-        ax.set_yticklabels([])
-    return ax
+# --------------------------------------------------------------------------- #
+# Per-series ("individual") figures: two blocks of signal columns side by
+# side, one series per row, built on a GridSpec with a spacer column.
+# --------------------------------------------------------------------------- #
+_SIGNAL_COLORS = ["tab:gray", "r", "y", "c"]
 
 
-_PANEL_COLORS = ["tab:gray", "r", "y", "c"]
+def _individual_fig(res, block_rows, row_labels_unit=None):
+    """Render per-series fits.  ``block_rows``: [rows-for-left-block,
+    rows-for-right-block]; each row of a block is one series, each column one
+    signal, normalised by the per-signal data max."""
+    n_signals = res.X_obs.shape[1]
+    signal_max = res.X_obs.max(axis=(0, 2))
+    n_rows = max(max(map(len, block_rows)), 1)
+
+    fig = plt.figure(figsize=(12, 1.35 * n_rows))
+    # columns: [block0 signals] [spacer] [block1 signals]
+    widths = [1.0] * n_signals + [0.6] + [1.0] * n_signals
+    gs = fig.add_gridspec(n_rows, 2 * n_signals + 1, width_ratios=widths, hspace=0.35, wspace=0.25)
+
+    for b, rows in enumerate(block_rows):
+        col0 = b * (n_signals + 1)
+        for i, series in enumerate(rows):
+            label = gen_treatment_str(
+                res.settings.conditions, res.treatments[series], unit=row_labels_unit
+            )
+            for s in range(n_signals):
+                ax = fig.add_subplot(gs[i, col0 + s])
+                mu = res.iw_predict_mu[series, s, :] / signal_max[s]
+                sd = res.iw_predict_std[series, s, :] / signal_max[s]
+                credible_band(ax, res.times, mu, 2 * sd, alpha=0.25, color=_SIGNAL_COLORS[s % 4])
+                ax.plot(res.times, res.X_obs[series, s, :] / signal_max[s], "k.", markersize=2)
+                ax.plot(res.times, mu, "-", lw=2, alpha=0.75, color=_SIGNAL_COLORS[s % 4])
+                ax.set_xlim(0.0, 17)
+                ax.set_xticks([0, 5, 10, 15])
+                ax.set_xticklabels([])
+                ax.set_ylim(-0.2, 1.2)
+                ax.tick_params(axis="both", which="major", labelsize=FS)
+                if i == 0:
+                    ax.set_title(res.settings.signals[s], fontsize=FS)
+                if s == 0:
+                    ax.set_ylabel(label, labelpad=25, fontsize=FS - 2)
+                else:
+                    ax.set_yticklabels([])
+        # shared block labels, placed relative to the block's grid cells
+        x_left = b * 0.52 + 0.06
+        fig.text(x_left, 0.5, "Normalized output", ha="center", va="center", rotation=90, fontsize=FS)
+        fig.text(x_left + 0.2, 0.0, "Time (h)", ha="center", va="bottom", fontsize=FS)
+    sns.despine(fig=fig)
+    return fig
 
 
 def xval_individual(res, device_id):
-    """Per-sample fits, two columns (parity: vihds/plotting.py:329-385)."""
-    nplots = res.X_obs.shape[1]
-    maxs = np.max(res.X_obs, axis=(0, 2))
-    locs = np.where(res.devices == device_id)[0]
-    locs = locs[np.argsort(res.ids[locs])]
-    ntreatments = len(locs)
-    nrows = int(np.ceil(ntreatments / 2.0))
-    f = plt.figure(figsize=(12, 1.2 * nrows))
-    for col in range(2):
-        left = 0.1 + col * 0.5
-        bottom = 0.4 / nrows
-        width = 0.33 / nplots
-        dx = 0.38 / nplots
-        dy = (1 - bottom) / nrows
-        height = 0.8 * dy
-        for i in range(nrows):
-            k = i + col * nrows
-            if k >= ntreatments:
-                continue
-            loc = locs[k]
-            treatment_str = gen_treatment_str(res.settings.conditions, res.treatments[loc])
-            for idx, maxi in enumerate(maxs):
-                pos = [left + idx * dx, bottom + (nrows - i - 1) * dy, width, height]
-                panel = (nrows, (2 * nplots, col * nplots + (nrows - i - 1) * 2 * nplots + idx + 1))
-                _individual_panel(
-                    f, res, loc, idx, maxi, pos, _PANEL_COLORS[idx % 4], treatment_str, i == 0, panel
-                )
-        f.text(left - 0.35 * dx, 0.5, "Normalized output", ha="center", va="center", rotation=90, fontsize=FS)
-        f.text(left + 2 * dx, 0, "Time (h)", ha="center", va="bottom", fontsize=FS)
-    sns.despine()
-    return f
+    """Every series of one device, split into two side-by-side blocks."""
+    rows = rows_of(res.devices, device_id)
+    rows = rows[np.argsort(res.ids[rows])]
+    half = int(np.ceil(len(rows) / 2.0))
+    return _individual_fig(res, [rows[:half], rows[half:]])
 
 
 def xval_individual_2treatments(res, device_id):
-    """Per-sample fits with treatments split into the two input groups
-    (parity: vihds/plotting.py:388-452)."""
-    nplots = res.X_obs.shape[1]
-    maxs = np.max(res.X_obs, axis=(0, 2))
-    both_locs = []
-    for col in range(2):
-        all_locs = np.where((res.devices == device_id) & (res.treatments[:, col] > 0.0))[0]
-        both_locs.append(all_locs[np.argsort(res.treatments[all_locs, col])])
-    ntreatments = max(map(len, both_locs))
-    f = plt.figure(figsize=(12, 1.5 * max(ntreatments, 1)))
-    for col, locs in enumerate(both_locs):
-        left = 0.1 + col * 0.5
-        bottom = 0.4 / max(ntreatments, 1)
-        width = 0.33 / nplots
-        dx = 0.38 / nplots
-        dy = (1 - bottom) / max(ntreatments, 1)
-        height = 0.8 * dy
-        for i, loc in enumerate(locs[:ntreatments]):
-            treatment_str = gen_treatment_str(res.settings.conditions, res.treatments[loc], unit="nM")
-            for idx, maxi in enumerate(maxs):
-                pos = [left + idx * dx, bottom + (ntreatments - i - 1) * dy, width, height]
-                panel = (
-                    ntreatments,
-                    (2 * nplots, col * nplots + (ntreatments - i - 1) * 2 * nplots + idx + 1),
-                )
-                _individual_panel(
-                    f, res, loc, idx, maxi, pos, _PANEL_COLORS[idx % 4], treatment_str, i == 0, panel
-                )
-        f.text(left - 0.35 * dx, 0.5, "Normalized output", ha="center", va="center", rotation=90, fontsize=FS)
-        f.text(left + 2 * dx, 0, "Time (h)", ha="center", va="bottom", fontsize=FS)
-    sns.despine()
-    return f
+    """Per-series fits with one block per input condition, dose-ordered."""
+    blocks = []
+    for ci in range(2):
+        rows = rows_of(res.devices, device_id)
+        rows = rows[res.treatments[rows, ci] > 0.0]
+        blocks.append(rows[np.argsort(res.treatments[rows, ci])])
+    return _individual_fig(res, blocks, row_labels_unit="nM")
 
 
 def combined_treatments(results, devices):
-    """Model-data functional responses to the two inputs for MULTIPLE result
-    sets side by side (offline analysis; parity: vihds/plotting.py:455-529).
+    """Model-data dose responses of the two reporter signals to each input,
+    for MULTIPLE result sets side by side (offline analysis figure).
 
-    Each entry of ``results`` carries: devices, treatments, X_obs,
-    importance_weights[L,K], PREDICT[L,S,K], STD[L,S,K], pretty_devices,
-    label."""
-    ndev = len(devices)
-    nres = len(results)
-    width = 0.2
-    lefts = [0.05, 0.57]
-    bottom = 0.3 / ndev
-    dx = 0.23
-    dy = (1 - bottom) / ndev
-    height = 0.9 * dy
-    c6_idx, c12_idx = 1, 0
-    ids = [2, 3]
-    colors = ["y", "c"]
-    f, ax = plt.subplots(ndev, 2 * nres, sharex=True, figsize=(9, 2.2 * ndev + 0.5))
-    for iu, device_id in enumerate(devices):
-        row = ax[iu] if ndev > 1 else ax
-        ytext = "Normalized fluorescence" if ndev > 1 else "Norm. fluorescence"
-        row[0].set_ylabel(results[0].pretty_devices[iu], labelpad=25, fontweight="bold", fontsize=FS)
+    Each entry of ``results`` carries: devices, treatments, X_obs [L,T,S],
+    importance_weights [L,K], PREDICT [L,K,S], STD [L,K,S], pretty_devices,
+    label.
+    """
+    n_dev, n_res = len(devices), len(results)
+    reporter_signals = [2, 3]  # YFP, CFP channels
+    reporter_colors = ["y", "c"]
+    c6_col, c12_col = 1, 0
+
+    grid = PanelGrid(n_dev, 2 * n_res, figsize=(9, 2.2 * n_dev + 0.5), share_x=True, share_y=True)
+    for r, device in enumerate(devices):
+        grid.row_label(r, results[0].pretty_devices[r], labelpad=25, fontweight="bold")
         for ir, res in enumerate(results):
-            locs = np.where(res.devices == device_id)[0]
-            OBS = np.transpose(res.X_obs[locs, -1, :], [1, 0])
-            IW = res.importance_weights[locs]
-            PREDICT = np.transpose(res.PREDICT[locs, :], [2, 0, 1])
-            STD = np.transpose(res.STD[locs, :], [2, 0, 1])
-            C6 = (np.exp(res.treatments[:, c6_idx]) - 1)[locs]
-            C12 = (np.exp(res.treatments[:, c12_idx]) - 1)[locs]
-            for j, color in zip(ids, colors):
-                mu = np.sum(IW * PREDICT[j], 1)
-                var = np.sum(IW * (PREDICT[j] ** 2 + STD[j] ** 2), 1) - mu ** 2
-                std = np.sqrt(np.maximum(var, 0))
-                for k, (sig_id, C) in enumerate(zip(ids, [C6, C12])):
-                    ic = ir + k * nres
-                    row[ic].errorbar(C, mu, yerr=std, fmt="o", mec="k", ms=5, lw=1, color=color)
-                    row[ic].semilogx(C, OBS[sig_id], "x", ms=5, lw=1, color=color)
-            if ir > 0:
-                row[ir].set_yticklabels([])
-                row[ir + nres].set_yticklabels([])
-            for k in range(2):
-                ic = ir + k * nres
-                row[ic].set_position([lefts[k] + ir * dx, bottom + (ndev - iu - 1) * dy, width, height])
-                row[ic].set_xticks(np.logspace(0, 4, 3))
-                row[ic].set_ylim(-0.1, 1.1)
-                row[ic].set_yticks([0.0, 0.5, 1.0])
-                row[ic].tick_params(axis="both", which="major", labelsize=FS)
-                if iu == 0:
-                    row[ic].set_title(res.label, fontsize=FS)
-    for k, xlabel in enumerate(["C$_6$ (nM)", "C$_{12}$ (nM)"]):
-        f.add_subplot(
-            1, 2, k + 1, frameon=False,
-            position=[lefts[k], bottom, width + (nres - 1) * dx, height + (ndev - 1) * dy],
-        )
-        plt.tick_params(labelcolor="none", top=False, bottom=False, left=False, right=False)
-        plt.xlabel(xlabel, fontsize=FS, labelpad=10)
-        plt.ylabel(ytext, fontsize=FS, labelpad=8)
-    sns.despine()
-    return f
+            rows = rows_of(res.devices, device)
+            final_obs = res.X_obs[rows, -1, :]  # [n_rows, S]
+            weights = res.importance_weights[rows]  # [n_rows, K]
+            doses = {
+                0: from_log1p(res.treatments[rows, c6_col]),
+                1: from_log1p(res.treatments[rows, c12_col]),
+            }
+            for sig, color in zip(reporter_signals, reporter_colors):
+                mu = (weights * res.PREDICT[rows, :, sig]).sum(1)
+                second = (weights * (res.PREDICT[rows, :, sig] ** 2 + res.STD[rows, :, sig] ** 2)).sum(1)
+                sd = np.sqrt(np.maximum(second - mu ** 2, 0))
+                for half, sig_obs in enumerate(reporter_signals):
+                    ax = grid.panel(r, ir + half * n_res)
+                    ax.errorbar(doses[half], mu, yerr=sd, fmt="o", mec="k", ms=5, lw=1, color=color)
+                    ax.semilogx(doses[half], final_obs[:, sig_obs], "x", ms=5, lw=1, color=color)
+            for half in range(2):
+                ax = grid.panel(r, ir + half * n_res)
+                ax.set_xticks(np.logspace(0, 4, 3))
+                ax.set_ylim(-0.1, 1.1)
+                ax.set_yticks([0.0, 0.5, 1.0])
+                ax.tick_params(axis="both", which="major", labelsize=FS)
+                if r == 0:
+                    ax.set_title(res.label, fontsize=FS)
+    grid.outer_labels(
+        "C$_6$ (nM)  /  C$_{12}$ (nM)",
+        "Normalized fluorescence" if n_dev > 1 else "Norm. fluorescence",
+        x_pad=10,
+        y_pad=8,
+    )
+    return grid.done()
 
 
-def _param_names_by_arity(res, want_local):
-    """Split q parameter names into per-datapoint vs global, preserving order."""
-    ndata = len(res.ids)
-    qs = dict(zip(list(res.q_names), list(res.q_values)))
-    seen, ordered = set(), []
-    for n in res.q_names:
-        base = n.split(".")[0]
-        if base not in seen:
-            seen.add(base)
-            ordered.append(base)
-    out = []
-    for p in ordered:
-        if p + ".mu" in qs:
-            is_local = np.shape(qs[p + ".mu"])[0] == ndata
-            if is_local == want_local:
-                out.append(p)
-    return out, qs
+# --------------------------------------------------------------------------- #
+# Posterior-parameter figures
+# --------------------------------------------------------------------------- #
+def _posterior_sites(res, per_datapoint):
+    """(ordered base names, {name: values}) for q sites whose mu arrays are
+    per-datapoint (local) or not (global), preserving spec order."""
+    n_data = len(res.ids)
+    values = dict(zip(list(res.q_names), list(res.q_values)))
+    bases = list(dict.fromkeys(name.split(".")[0] for name in res.q_names))
+    picked = [
+        b
+        for b in bases
+        if b + ".mu" in values
+        and (np.shape(values[b + ".mu"])[0] == n_data) == per_datapoint
+    ]
+    return picked, values
+
+
+def _site_grid(names, ncols, panel_w, title):
+    nrows = int(np.ceil(len(names) / ncols))
+    grid = PanelGrid(nrows, ncols, figsize=(panel_w * ncols, 2 * nrows), share_x=(title == "Local parameters"))
+    grid.fig.suptitle(title, fontsize=14)
+    return grid
 
 
 def xval_variable_parameters(res, ncols=2):
-    """Per-datapoint posterior mu +- 1/prec error bars
-    (parity: vihds/plotting.py:532-586)."""
-    devices = np.unique(res.devices)
-    ps, qs = _param_names_by_arity(res, want_local=True)
-    if not ps:
+    """Per-datapoint posterior mu +- 1/prec error bars, coloured by device."""
+    sites, values = _posterior_sites(res, per_datapoint=True)
+    if not sites:
         print("- No variable parameters: not producing plot")
         return None
-    cdict = dict(zip(devices, sns.color_palette()))
-    nrows = int(np.ceil(len(ps) / ncols))
-    f, axs = plt.subplots(nrows, ncols, sharex=True, figsize=(6 * ncols, 2 * nrows))
-    f.suptitle("Local parameters", fontsize=14)
-    for i in range(nrows):
-        for j in range(ncols):
-            ax = _ax(axs, i, j, nrows)
-            k = j + i * ncols
-            if k < len(ps):
-                name = ps[k]
-                for di in devices:
-                    locs = np.where(res.devices == di)
-                    ax.errorbar(
-                        res.ids[locs],
-                        np.squeeze(qs["%s.mu" % name][locs]),
-                        np.squeeze(1 / qs["%s.prec" % name][locs]),
-                        fmt=".",
-                        color=cdict[di],
-                    )
-                ax.set_title(name)
-                if i == nrows - 1:
-                    ax.set_xlabel("Data instance")
-            else:
-                ax.set_visible(False)
-        _ax(axs, i, 0, nrows).set_ylabel("Parameter value")
-    f.tight_layout(rect=(0, 0, 1, 0.97))
-    sns.despine()
-    return f
+    palette = dict(zip(np.unique(res.devices), sns.color_palette()))
+    grid = _site_grid(sites, ncols, panel_w=6, title="Local parameters")
+    for k in range(grid.n_rows * grid.n_cols):
+        r, c = divmod(k, ncols)
+        if k >= len(sites):
+            grid.hide_panel(r, c)
+            continue
+        ax = grid.panel(r, c)
+        name = sites[k]
+        for device, color in palette.items():
+            rows = rows_of(res.devices, device)
+            ax.errorbar(
+                res.ids[rows],
+                np.squeeze(values[name + ".mu"][rows]),
+                np.squeeze(1 / values[name + ".prec"][rows]),
+                fmt=".",
+                color=color,
+            )
+        ax.set_title(name)
+        if r == grid.n_rows - 1:
+            ax.set_xlabel("Data instance")
+    for r in range(grid.n_rows):
+        grid.row_label(r, "Parameter value", fontsize=None)
+    grid.fig.tight_layout(rect=(0, 0, 1, 0.97))
+    sns.despine(fig=grid.fig)
+    return grid.fig
 
 
 def xval_global_parameters(res, ncols=6):
-    """Per-fold global posterior mu +- 1/prec error bars
-    (parity: vihds/plotting.py:589-641)."""
-    nfolds = len(res.chunk_sizes)
-    ps, qs = _param_names_by_arity(res, want_local=False)
-    if not ps:
+    """Per-fold global posterior mu +- 1/prec error bars."""
+    n_folds = len(res.chunk_sizes)
+    sites, values = _posterior_sites(res, per_datapoint=False)
+    if not sites:
         print("- No global parameters: not producing plot")
         return None
-    n = len(ps)
-    ncols = min(ncols, n)
-    nrows = int(np.ceil(n / ncols))
-    f, axs = plt.subplots(nrows, ncols, figsize=(2 * ncols, 2 * nrows))
-    f.suptitle("Global parameters", fontsize=14)
-    for i in range(nrows):
-        for j in range(ncols):
-            ax = _ax(axs, i, j, nrows) if ncols > 1 else (axs if nrows == 1 else axs[i])
-            k = j + i * ncols
-            if k < len(ps):
-                name = ps[k]
-                ax.errorbar(
-                    np.linspace(1, nfolds, nfolds),
-                    qs["%s.mu" % name],
-                    1 / qs["%s.prec" % name],
-                    fmt=".",
-                )
-                ax.set_title(name)
-                ax.set_xlim([0.5, nfolds + 0.5])
-                ax.set_xticks(range(1, nfolds + 1))
-                if i == nrows - 1:
-                    ax.set_xlabel("Fold")
-            else:
-                ax.set_visible(False)
-        (_ax(axs, i, 0, nrows) if ncols > 1 else ax).set_ylabel("Parameter value")
-    f.tight_layout(rect=(0, 0, 1, 0.96))
-    sns.despine()
-    return f
+    ncols = min(ncols, len(sites))
+    grid = _site_grid(sites, ncols, panel_w=2, title="Global parameters")
+    for k in range(grid.n_rows * grid.n_cols):
+        r, c = divmod(k, ncols)
+        if k >= len(sites):
+            grid.hide_panel(r, c)
+            continue
+        ax = grid.panel(r, c)
+        name = sites[k]
+        ax.errorbar(
+            np.arange(1, n_folds + 1), values[name + ".mu"], 1 / values[name + ".prec"], fmt="."
+        )
+        ax.set_title(name)
+        ax.set_xlim(0.5, n_folds + 0.5)
+        ax.set_xticks(range(1, n_folds + 1))
+        if r == grid.n_rows - 1:
+            ax.set_xlabel("Fold")
+    for r in range(grid.n_rows):
+        grid.row_label(r, "Parameter value", fontsize=None)
+    grid.fig.tight_layout(rect=(0, 0, 1, 0.96))
+    sns.despine(fig=grid.fig)
+    return grid.fig

@@ -34,7 +34,7 @@ def weighted_theta_plot(training, valid_writer, epoch, train_merged, valid_merge
         normed(valid_merged),
         valid_merged.theta,
         training.valid_data.devices,
-        columns2use=columns,
+        columns=columns,
         sample=sample,
     )
     name = "Theta/Theta-Resample" if sample else "Theta/Theta-Uniform"
