@@ -59,11 +59,15 @@ def main():
     # 50 steps per call, matching how Training.run actually trains.
     n_steps = 50
     stack = lambda a: jnp.broadcast_to(a[None], (n_steps,) + a.shape)
-    obs_s, inp_s, dev_s = stack(batch.observations), stack(batch.inputs), stack(batch.dev_1hot)
-    masks = jnp.ones((n_steps, n_batch), jnp.float32)
+    stacks = AttrDict(
+        observations=stack(batch.observations),
+        inputs=stack(batch.inputs),
+        dev_1hot=stack(batch.dev_1hot),
+        mask=jnp.ones((n_steps, n_batch), jnp.float32),
+    )
 
     epoch_fn = training._train_epoch
-    p, o, key, elbos = epoch_fn(params, opt_state, key, obs_s, inp_s, dev_s, batch.times, masks)
+    p, o, key, elbos = epoch_fn(params, opt_state, key, stacks, batch.times)
     jax.block_until_ready(elbos)
     assert np.isfinite(np.asarray(elbos)).all(), "warmup ELBOs not finite"
 
@@ -71,7 +75,7 @@ def main():
     rates = []
     for _ in range(5):
         t0 = time.perf_counter()
-        p, o, key, elbos = epoch_fn(p, o, key, obs_s, inp_s, dev_s, batch.times, masks)
+        p, o, key, elbos = epoch_fn(p, o, key, stacks, batch.times)
         jax.block_until_ready(elbos)
         rates.append(n_steps / (time.perf_counter() - t0))
     steps_per_sec = float(np.median(rates))

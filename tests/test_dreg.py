@@ -88,14 +88,15 @@ def test_dreg_training_step_runs(setup):
     training = Training(args, settings, data, program, model)
     opt_state = training.tx.init(params)
     mask = jnp.ones((batch.observations.shape[0],), jnp.float32)
+    from vihds_tpu.utils.attrdict import AttrDict
+
+    stacks = AttrDict(
+        observations=batch.observations[None],
+        inputs=batch.inputs[None],
+        dev_1hot=batch.dev_1hot[None],
+        mask=mask[None],
+    )
     p2, o2, _, elbos = training._train_epoch(
-        params,
-        opt_state,
-        jax.random.PRNGKey(0),
-        batch.observations[None],
-        batch.inputs[None],
-        batch.dev_1hot[None],
-        batch.times,
-        mask[None],
+        params, opt_state, jax.random.PRNGKey(0), stacks, batch.times
     )
     assert np.isfinite(np.asarray(elbos)).all()

@@ -92,3 +92,31 @@ def test_precision_hidden_layers_cli_override():
     args.precision_hidden_layers = 0
     settings = Config(args)
     assert settings.params.n_hidden_decoder_precisions == 0
+
+
+def test_unmerged_multi_dataset(tmp_path, monkeypatch):
+    """merge: false — per-file native time grids end-to-end (the reference
+    declares this path but it is dead there: vihds/encoders.py:362-365)."""
+    monkeypatch.chdir(tmp_path)
+    args = make_args(spec("dr_constant_icml_unmerged.yaml"), train_samples=4, test_samples=4, epochs=2)
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    ds = data.train.dataset
+    # heterogeneous native grids preserved (merge would snap all to 86)
+    n_times = sorted({f.n_times for f in ds.files})
+    assert len(n_times) > 1 and ds.n_times == min(n_times)
+    assert len(ds) == 312  # same series count as the merged load
+    # report view is rectangular on the shortest grid
+    view = ds.select(np.arange(10))
+    assert view.observations.shape == (10, 4, ds.n_times)
+
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    from vihds_tpu.training import Training
+
+    res = Training(args, settings, data, program, model).run()
+    assert res is not None
+    assert np.isfinite(res.elbo)
+    # iw outputs snapped onto the report grid
+    assert res.iw_predict_mu.shape == (data.n_test, 4, ds.n_times)

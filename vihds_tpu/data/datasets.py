@@ -128,6 +128,111 @@ class TimeSeriesDataset:
         )
 
 
+class MultiTimeSeriesDataset:
+    """Non-merged multi-file dataset (``data: merge: false``): every CSV keeps
+    its NATIVE time grid.
+
+    The reference declares this path but it is dead there (ConcatDataset
+    batches would be ragged and its Encoder raises NotImplementedError,
+    reference vihds/datasets.py:188-196, vihds/encoders.py:362-365).  The
+    TPU-first semantics implemented here:
+
+      * per-signal scaling uses the max over ALL files — the same
+        normalisation a merged load would compute;
+      * the encoder consumes every series snapped onto the SHORTEST grid by
+        nearest-time subsampling (the rule merge uses, and the reference's
+        declared intent: "use the time vector with the fewest time-points
+        for the encoder") so the amortised q sees ONE static input shape;
+      * the ODE + likelihood run on each file's native grid — nothing about
+        the generative side is lossy, which is the point of merge: false;
+      * training/eval group batches by file: static shapes per file, one
+        compiled program per distinct grid (SURVEY §7 hard part #5), and
+        report-facing arrays (``select``/xval artifacts) are snapped onto
+        the shortest grid so the artifact contract stays rectangular.
+    """
+
+    def __init__(self, data_settings, params):
+        self.data_settings = data_settings
+        self.params = params
+
+    def init_multiple(self):
+        import copy
+
+        parsed = [procdata.load(f, self.data_settings) for f in self.data_settings.files]
+        parsed = [p for p in parsed if p is not None]
+        if not parsed:
+            raise ValueError("No data found for devices %s" % list(self.data_settings.devices))
+        n_signals = parsed[0][3].shape[1]
+        if self.data_settings.normalize is None:
+            scales = [
+                float(max(np.max(obs[:, i, :]) for _, _, _, obs in parsed))
+                for i in range(n_signals)
+            ]
+        else:
+            scales = self.data_settings.normalize
+        shared = copy.copy(self.data_settings)
+        shared.normalize = scales
+
+        self.files = []
+        for devices, inputs, times, observations in parsed:
+            ds = TimeSeriesDataset(shared, self.params)
+            ds._preprocess(devices, inputs, times, observations)
+            self.files.append(ds)
+        self.scales = scales
+        self.n_species = self.files[0].n_species
+
+        # encoder/report grid = the shortest native grid; per-file
+        # nearest-time snap indices onto it
+        enc_file = int(np.argmin([f.n_times for f in self.files]))
+        self.times = self.files[enc_file].times
+        self.n_times = len(self.times)
+        self.enc_idx = [
+            np.array([find_nearest(f.times, t) for t in self.times]) for f in self.files
+        ]
+
+        counts = [len(f) for f in self.files]
+        self.file_of = np.concatenate([np.full(c, i, int) for i, c in enumerate(counts)])
+        self.local_of = np.concatenate([np.arange(c) for c in counts])
+        self.devices = np.concatenate([f.devices for f in self.files])
+
+    def __len__(self):
+        return len(self.file_of)
+
+    def group_by_file(self, global_ids):
+        """[(file_idx, local row ids, positions within ``global_ids``)] for
+        the files represented in ``global_ids`` — the per-file static-shape
+        work units for training and evaluation."""
+        global_ids = np.asarray(global_ids)
+        groups = []
+        for i in range(len(self.files)):
+            positions = np.flatnonzero(self.file_of[global_ids] == i)
+            if len(positions):
+                groups.append((i, self.local_of[global_ids[positions]], positions))
+        return groups
+
+    def file_batch(self, file_idx, local_ids):
+        """Native-grid batch for one file, plus the encoder's snapped view."""
+        ds = self.files[file_idx]
+        batch = ds.select(np.asarray(local_ids))
+        batch["enc_observations"] = batch.observations[:, :, self.enc_idx[file_idx]]
+        return batch
+
+    def select(self, idx):
+        """Report view: batch on the shortest grid (rectangular across files)."""
+        idx = np.asarray(idx)
+        obs = np.empty((len(idx), self.n_species, self.n_times), np.float32)
+        for i, local_ids, positions in self.group_by_file(idx):
+            ds = self.files[i]
+            obs[positions] = ds.observations[local_ids][:, :, self.enc_idx[i]]
+        return AttrDict(
+            devices=self.devices[idx],
+            dev_1hot=np.concatenate([f.dev_1hot for f in self.files])[idx],
+            inputs=np.concatenate([f.inputs for f in self.files])[idx],
+            observations=obs,
+            times=self.times,
+        )
+
+
 class Subset:
     """A view of a dataset restricted to ``indices``."""
 
@@ -163,7 +268,8 @@ def build_datasets(args, config):
         dataset = TimeSeriesDataset(data_settings, config.params)
         dataset.init_multiple_merge()
     else:
-        raise NotImplementedError("non-merged multi-dataset path not supported yet")
+        dataset = MultiTimeSeriesDataset(data_settings, config.params)
+        dataset.init_multiple()
 
     np.random.seed(args.seed)
     if getattr(args, "heldout", None):

@@ -115,9 +115,15 @@ class Encoder:
         return x
 
     def __call__(self, p, data):
-        """data: batch AttrDict -> q arrays {mu, prec, logprec} [B, n_theta]."""
-        B = data.observations.shape[0]
-        encoded = self.trunk(p, data.observations)
+        """data: batch AttrDict -> q arrays {mu, prec, logprec} [B, n_theta].
+
+        Non-merged multi-file batches carry ``enc_observations`` — the series
+        snapped onto the shortest grid the trunk was built for — while
+        ``observations`` stays on the file's native grid for the likelihood.
+        """
+        obs = data["enc_observations"] if "enc_observations" in data else data.observations
+        B = obs.shape[0]
+        encoded = self.trunk(p, obs)
 
         parts_mu, parts_lp = [], []
         if self.n_local:

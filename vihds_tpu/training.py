@@ -167,7 +167,26 @@ class Training:
 
         p = settings.params
         self.n_batch = min(p.n_batch, data.n_train)
-        steps_per_epoch = max(1, math.ceil(data.n_train / self.n_batch))
+        # Non-merged multi-file data (merge: false): per-file work units with
+        # static native-grid shapes (see MultiTimeSeriesDataset).
+        ds = data.train.dataset
+        self.multi = hasattr(ds, "files")
+        if self.multi:
+            self.enc_idx = ds.enc_idx
+            self.train_groups = [
+                (i, ds.file_batch(i, local), pos)
+                for i, local, pos in ds.group_by_file(data.train.indices)
+            ]
+            self.valid_groups = [
+                (i, ds.file_batch(i, local), pos)
+                for i, local, pos in ds.group_by_file(data.test.indices)
+            ]
+            steps_per_epoch = sum(
+                max(1, math.ceil(host.observations.shape[0] / self.n_batch))
+                for _, host, _ in self.train_groups
+            )
+        else:
+            steps_per_epoch = max(1, math.ceil(data.n_train / self.n_batch))
         boundaries = {
             int(b) * steps_per_epoch: p.learning_gamma for b in p.learning_boundaries
         }
@@ -231,25 +250,28 @@ class Training:
             def vag(params, batch, mask, key):
                 return jax.value_and_grad(loss_fn)(params, batch, mask, key)
 
-        def train_epoch(params, opt_state, key, observations, inputs, dev_1hot, times, masks):
+        def train_epoch(params, opt_state, key, stacks, times):
             """All of an epoch's batches in ONE device dispatch: lax.scan over
-            the stacked [n_batches, B, ...] arrays.  This removes the per-step
+            ``stacks`` — an AttrDict pytree of [n_steps, B, ...] arrays
+            (observations, inputs, dev_1hot, mask, and for non-merged
+            multi-file data enc_observations).  This removes the per-step
             host round-trip that dominates wall-clock for models this small
             (the reference pays a full Python solver loop per batch,
             vihds/solvers.py:9-17)."""
 
-            def body(carry, inp):
+            def body(carry, xs):
                 params, opt_state, key = carry
-                obs, inp_t, dev, mask = inp
                 key, sub = jax.random.split(key)
-                batch = AttrDict(observations=obs, inputs=inp_t, dev_1hot=dev, times=times)
+                batch = AttrDict(xs)
+                mask = batch.pop("mask")
+                batch["times"] = times
                 loss, grads = vag(params, batch, mask, sub)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state, key), -loss
 
             (params, opt_state, key), elbos = jax.lax.scan(
-                body, (params, opt_state, key), (observations, inputs, dev_1hot, masks)
+                body, (params, opt_state, key), stacks
             )
             return params, opt_state, key, elbos
 
@@ -277,18 +299,21 @@ class Training:
                 res["theta_bkn"] = out.theta_clipped
             return res
 
-        def eval_split(params, observations, inputs, dev_1hot, times, key, n_samples, with_theta):
-            """All chunks of a split in ONE dispatch (lax.map over stacked
-            [n_chunks, chunk, ...] arrays) so the host pays each transfer's
-            tunnel latency once per split, not once per chunk."""
-            keys = jax.random.split(key, observations.shape[0])
+        def eval_split(params, stacks, times, key, n_samples, with_theta):
+            """All chunks of a split in ONE dispatch (lax.map over the
+            ``stacks`` AttrDict of [n_chunks, chunk, ...] arrays) so the host
+            pays each transfer's tunnel latency once per split, not once per
+            chunk."""
+            n_chunks = jax.tree_util.tree_leaves(stacks)[0].shape[0]
+            keys = jax.random.split(key, n_chunks)
 
             def one(inp):
-                obs, inp_t, dev, k = inp
-                batch = AttrDict(observations=obs, inputs=inp_t, dev_1hot=dev, times=times)
+                xs, k = inp
+                batch = AttrDict(xs)
+                batch["times"] = times
                 return eval_step(params, batch, None, k, n_samples, with_theta)
 
-            return jax.lax.map(one, (observations, inputs, dev_1hot, keys))
+            return jax.lax.map(one, (stacks, keys))
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -304,7 +329,9 @@ class Training:
             self._train_epoch = self._ambient_mesh(
                 jax.jit(
                     train_epoch,
-                    in_shardings=(repl, repl, repl, stacked, stacked, stacked, repl, stacked),
+                    # `stacked` applies as a pytree prefix to every leaf of
+                    # the stacks AttrDict: batch rows (axis 1) over 'data'
+                    in_shardings=(repl, repl, repl, stacked, repl),
                     donate_argnums=(0, 1),
                 )
             )
@@ -314,7 +341,7 @@ class Training:
             self._eval_split = self._ambient_mesh(
                 jax.jit(
                     eval_split,
-                    in_shardings=(repl, stacked, stacked, stacked, repl, repl),
+                    in_shardings=(repl, stacked, repl, repl),
                     static_argnames=("n_samples", "with_theta"),
                 )
             )
@@ -345,11 +372,16 @@ class Training:
         n_chunks = math.ceil(n / chunk)
         idx = np.concatenate([np.arange(n), np.zeros(n_chunks * chunk - n, int)])
         idx = idx.reshape(n_chunks, chunk)
+        stacks = AttrDict(
+            observations=jnp.asarray(host_data.observations[idx]),
+            inputs=jnp.asarray(host_data.inputs[idx]),
+            dev_1hot=jnp.asarray(host_data.dev_1hot[idx]),
+        )
+        if "enc_observations" in host_data:
+            stacks["enc_observations"] = jnp.asarray(host_data.enc_observations[idx])
         stacked = self._eval_split(
             params,
-            jnp.asarray(host_data.observations[idx]),
-            jnp.asarray(host_data.inputs[idx]),
-            jnp.asarray(host_data.dev_1hot[idx]),
+            stacks,
             jnp.asarray(host_data.times),
             key,
             n_samples,
@@ -371,6 +403,32 @@ class Training:
         merged["log_p"] = log_p
         if with_theta:
             merged["theta"] = np.transpose(merged.pop("theta_bkn"), (2, 0, 1))
+        merged["elbo"] = float(np.mean(merged["per_item_elbo"]))
+        return merged
+
+    def _eval_multi(self, params, groups, n_samples, key, with_theta=True):
+        """Grouped-by-file evaluation for non-merged (merge: false) splits:
+        each file evaluates on its NATIVE grid, then the report-facing
+        time-indexed outputs are snapped onto the shortest grid so the merged
+        result is rectangular — the same contract a merged load produces."""
+        n_total = sum(len(pos) for _, _, pos in groups)
+        keys = jax.random.split(key, len(groups))
+        merged = AttrDict()
+        for (file_i, host, pos), k in zip(groups, keys):
+            part = self._eval_full(params, host, n_samples, k, with_theta=with_theta)
+            part.pop("elbo")
+            snap = self.enc_idx[file_i]
+            for name in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance"):
+                part[name] = part[name][:, :, snap]
+            for name, v in part.items():
+                if name == "theta":
+                    if name not in merged:
+                        merged[name] = np.zeros((v.shape[0], n_total) + v.shape[2:], v.dtype)
+                    merged[name][:, pos] = v
+                else:
+                    if name not in merged:
+                        merged[name] = np.zeros((n_total,) + v.shape[1:], v.dtype)
+                    merged[name][pos] = v
         merged["elbo"] = float(np.mean(merged["per_item_elbo"]))
         return merged
 
@@ -440,9 +498,14 @@ class Training:
         # train-split diagnostics never persist theta; skip its transfer
         # unless the weighted-theta figure needs it
         want_theta_plot = bool(getattr(self.settings.params, "theta_columns", None)) and plot
-        train_merged = self._eval_full(
-            params, self.train_data, self.args.train_samples, k1, with_theta=want_theta_plot
-        )
+        if self.multi:
+            train_merged = self._eval_multi(
+                params, self.train_groups, self.args.train_samples, k1, with_theta=want_theta_plot
+            )
+        else:
+            train_merged = self._eval_full(
+                params, self.train_data, self.args.train_samples, k1, with_theta=want_theta_plot
+            )
         self._update_summaries(train_writer, epoch, train_merged)
         train_output = self._make_results(train_merged)
         print(
@@ -459,7 +522,10 @@ class Training:
             plotting_hooks.eval_plots(
                 self, train_writer, epoch, self.train_data, train_output, dynamic=self.model.ode_model.precisions.dynamic
             )
-        valid_merged = self._eval_full(params, self.valid_data, self.args.test_samples, k2)
+        if self.multi:
+            valid_merged = self._eval_multi(params, self.valid_groups, self.args.test_samples, k2)
+        else:
+            valid_merged = self._eval_full(params, self.valid_data, self.args.test_samples, k2)
         self._update_summaries(valid_writer, epoch, valid_merged)
         valid_output = self._make_results(valid_merged)
         if valid_writer is not None and plot:
@@ -488,6 +554,38 @@ class Training:
         log_data.training_elbo_list.append(train_merged.elbo)
         log_data.validation_elbo_list.append(valid_merged.elbo)
         return valid_output
+
+    def _run_multi_epochs(self, params, opt_state, key, seed, epoch, end_epoch):
+        """Train epochs [epoch, end_epoch] over non-merged files: one fused
+        dispatch per (epoch, file) — files interleave within each epoch, and
+        each file's batches scan on its own native-grid compiled program."""
+        all_elbos = []
+        for e in range(epoch, end_epoch + 1):
+            # one stream per (seed, epoch): per-file perms drawn sequentially,
+            # so resume replays the identical batch orders (see epoch_perm)
+            rng_e = np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32))
+            for file_i, host, _ in self.train_groups:
+                n_f = host.observations.shape[0]
+                nb = max(1, math.ceil(n_f / self.n_batch))
+                perm = rng_e.permutation(n_f)
+                pad = nb * self.n_batch - n_f
+                mask = np.ones(nb * self.n_batch, np.float32)
+                if pad:
+                    mask[n_f:] = 0.0
+                    perm = np.concatenate([perm, np.zeros(pad, int)])
+                idx = perm.reshape(nb, self.n_batch)
+                stacks = AttrDict(
+                    observations=jnp.asarray(host.observations[idx]),
+                    enc_observations=jnp.asarray(host.enc_observations[idx]),
+                    inputs=jnp.asarray(host.inputs[idx]),
+                    dev_1hot=jnp.asarray(host.dev_1hot[idx]),
+                    mask=jnp.asarray(mask.reshape(nb, self.n_batch)),
+                )
+                params, opt_state, key, elbos = self._train_epoch(
+                    params, opt_state, key, stacks, jnp.asarray(host.times)
+                )
+                all_elbos.append(np.asarray(elbos))
+        return params, opt_state, key, np.concatenate(all_elbos)
 
     # -------------------------------------------------------------------- run
     def run(self):
@@ -569,32 +667,36 @@ class Training:
             epoch_start = time.time()
             end_epoch = next_boundary(epoch)
             n_ep = end_epoch - epoch + 1
-            # Stack n_ep epochs' shuffled, padded batches: [n_ep*NB, B] index
-            # grid -> one lax.scan dispatch covers every step up to the next
-            # eval/checkpoint boundary (host+tunnel overhead is ~25x the
-            # device compute per epoch otherwise — see BASELINE.md).
-            perms = np.stack([epoch_perm(e) for e in range(epoch, end_epoch + 1)])
-            masks = np.ones((n_ep, n_batches * self.n_batch), np.float32)
-            if pad_total:
-                masks[:, n_train:] = 0.0
-                perms = np.concatenate([perms, np.zeros((n_ep, pad_total), int)], axis=1)
-            idx = perms.reshape(n_ep * n_batches, self.n_batch)
-            masks = masks.reshape(n_ep * n_batches, self.n_batch)
 
             from vihds_tpu import profiling
 
             do_trace = bool(profile_dir) and not traced and epoch > start_epoch
             with profiling.trace(profile_dir if do_trace else None):
-                params, opt_state, key, chunk_elbos = self._train_epoch(
-                    params,
-                    opt_state,
-                    key,
-                    jnp.asarray(train_host.observations[idx]),
-                    jnp.asarray(train_host.inputs[idx]),
-                    jnp.asarray(train_host.dev_1hot[idx]),
-                    times,
-                    jnp.asarray(masks),
-                )
+                if self.multi:
+                    params, opt_state, key, chunk_elbos = self._run_multi_epochs(
+                        params, opt_state, key, seed, epoch, end_epoch
+                    )
+                else:
+                    # Stack n_ep epochs' shuffled, padded batches: [n_ep*NB, B]
+                    # index grid -> one lax.scan dispatch covers every step up
+                    # to the next eval/checkpoint boundary (host+tunnel
+                    # overhead is ~25x the device compute per epoch otherwise
+                    # — see BASELINE.md).
+                    perms = np.stack([epoch_perm(e) for e in range(epoch, end_epoch + 1)])
+                    masks = np.ones((n_ep, n_batches * self.n_batch), np.float32)
+                    if pad_total:
+                        masks[:, n_train:] = 0.0
+                        perms = np.concatenate([perms, np.zeros((n_ep, pad_total), int)], axis=1)
+                    idx = perms.reshape(n_ep * n_batches, self.n_batch)
+                    stacks = AttrDict(
+                        observations=jnp.asarray(train_host.observations[idx]),
+                        inputs=jnp.asarray(train_host.inputs[idx]),
+                        dev_1hot=jnp.asarray(train_host.dev_1hot[idx]),
+                        mask=jnp.asarray(masks.reshape(n_ep * n_batches, self.n_batch)),
+                    )
+                    params, opt_state, key, chunk_elbos = self._train_epoch(
+                        params, opt_state, key, stacks, times
+                    )
                 if do_trace:
                     jax.block_until_ready(chunk_elbos)
                     traced = True
