@@ -120,3 +120,46 @@ def test_unmerged_multi_dataset(tmp_path, monkeypatch):
     assert np.isfinite(res.elbo)
     # iw outputs snapped onto the report grid
     assert res.iw_predict_mu.shape == (data.n_test, 4, ds.n_times)
+
+
+def test_growthrate_reduces_to_dr_constant():
+    """dr_growthrate (reconstruction; dead upstream — the spec's model is
+    absent from reference models/__init__.py:19-35) must reduce exactly to
+    DR_Constant when the basal-expression fraction es = 1 (cap(t) == 1)."""
+    import jax.numpy as jnp
+
+    from vihds_tpu import models
+
+    args = make_args(spec("dr_growthrate_xval.yaml"))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    assert type(model.ode_model).__name__ == "DR_Growthrate"
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    n, k = 4, 3
+    batch = batch_arrays(data.train.dataset.select(np.arange(n)))
+    u = model.sample_u(jax.random.PRNGKey(1), n, k)
+    q = model.encoder(params["enc"], batch)
+    th = program.theta_dict(program.clip(program.sample(q, u), stddevs=4))
+    th = model.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
+    th_es1 = dict(th)
+    th_es1["es"] = jnp.ones_like(th["es"])
+
+    cmodel = models.LOOKUP["dr_constant"](settings)
+    rhs_g = model.ode_model.make_rhs(params["dec"], th_es1, batch.inputs, batch.dev_1hot)
+    rhs_c = cmodel.make_rhs(params["dec"], th_es1, batch.inputs, batch.dev_1hot)
+    y0 = model.ode_model.initialize_state(params["dec"], th_es1, batch.inputs, n, k)
+    y0 = jnp.broadcast_to(y0, (n, k, model.ode_model.n_species))
+    for t in (0.0, 2.5, 10.0):
+        g, c = rhs_g(jnp.float32(t), y0), rhs_c(jnp.float32(t), y0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(c), rtol=1e-6)
+        assert np.isfinite(np.asarray(g)).all()
+
+    # and with es < 1 production is damped, dilution untouched
+    th_lo = dict(th)
+    th_lo["es"] = jnp.full_like(th["es"], 0.1)
+    rhs_lo = model.ode_model.make_rhs(params["dec"], th_lo, batch.inputs, batch.dev_1hot)
+    d_lo = np.asarray(rhs_lo(jnp.float32(0.0), y0))
+    assert np.isfinite(d_lo).all()

@@ -20,6 +20,7 @@ SPECS = [
     "dr_constant_precisions.yaml",
     "dr_constant_precisions_v2.yaml",
     "dr_blackbox_icml.yaml",
+    "dr_growthrate_xval.yaml",
     "auto_constant.yaml",
     "auto_constant_precisions.yaml",
     "prpr_constant.yaml",

@@ -134,6 +134,14 @@ def test_run_xval_mesh_cli_matches_single_device(tmp_path):
 
 @pytest.mark.slow
 def test_run_xval_unknown_model_message(tmp_path):
-    r = run_cli("vihds_tpu.run_xval", [spec("dr_growthrate_xval.yaml"), "--experiment=bad"], tmp_path)
+    # (dr_growthrate itself is buildable here since the round-2
+    # reconstruction — use a genuinely unknown name)
+    text = open(spec("dr_constant_one.yaml")).read().replace(
+        "model: dr_constant", "model: no_such_model"
+    )
+    bad = os.path.join(tmp_path, "bad_model.yaml")
+    with open(bad, "w") as f:
+        f.write(text)
+    r = run_cli("vihds_tpu.run_xval", [bad, "--experiment=bad"], tmp_path)
     assert r.returncode != 0
-    assert "Unknown model" in r.stderr and "dr_growthrate" in r.stderr
+    assert "Unknown model" in r.stderr and "no_such_model" in r.stderr

@@ -15,12 +15,16 @@ from vihds_tpu.vae import VAE
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALL_SPECS = sorted(os.path.basename(p) for p in glob.glob(os.path.join(HERE, "specs", "*.yaml")))
 # dr_growthrate_xval names a model that never existed in the reference's
-# registry (models/__init__.py:19-35); it is shipped for schema parity only.
-BUILDABLE = [s for s in ALL_SPECS if s != "dr_growthrate_xval.yaml"]
+# registry (models/__init__.py:19-35) — dead upstream; buildable here via the
+# documented reconstruction in vihds_tpu/models/dr_growthrate.py.
+BUILDABLE = ALL_SPECS
 
 
 def test_spec_inventory():
-    assert len(ALL_SPECS) == 16  # parity with the reference's specs/ dir
+    # 16 = parity with the reference's specs/ dir; +1 repo-native spec
+    # (dr_constant_icml_unmerged.yaml, the merge:false path dead upstream)
+    assert len(ALL_SPECS) == 17
+    assert "dr_constant_icml_unmerged.yaml" in ALL_SPECS
 
 
 @pytest.mark.parametrize("spec_name", BUILDABLE)

@@ -23,6 +23,7 @@ Usage:
 
 import os
 import sys
+import tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
@@ -30,23 +31,47 @@ DEFAULT_OUT = os.path.join(REPO, "reports", "posterior_parity")
 DEFAULT_SPEC = "dr_constant_one.yaml"
 DEFAULT_EPOCHS = 300
 
+# A run's ELBO above this is the reference's +-4sigma clip exploit blowing up
+# (q pushed past the clip bound => unbounded -log q; see vihds_tpu/vae.py
+# docstring); its best-val cache is then the exploded epoch — junk moments.
+DIVERGED_ELBO = 1e4
 
-def _save(out_dir, tag, seed, q_names, q_values, elbo):
+
+def _isolate_cwd(tag, seed):
+    """Both implementations fall back to a RELATIVE .vihds_cache best-val
+    cache when no Trainer is configured (reference vihds/utils.py:101);
+    concurrent runs sharing a cwd would clobber each other's cache, so give
+    every run its own scratch cwd."""
+    d = tempfile.mkdtemp(prefix="pp_%s_seed%d_" % (tag, seed))
+    os.chdir(d)
+
+
+def _save(out_dir, tag, seed, results):
     import numpy as np
 
+    elbo = results.elbo
+    if not float(elbo) == float(elbo) or abs(float(elbo)) > DIVERGED_ELBO:
+        out_dir = os.path.join(out_dir, "diverged")  # outside compare()'s glob
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "%s_seed%d.npz" % (tag, seed))
     np.savez(
         path,
-        q_names=np.array(list(q_names), dtype=object),
-        q_values=np.array([np.asarray(v, dtype=np.float64) for v in q_values], dtype=object),
+        q_names=np.array(list(results.q_names), dtype=object),
+        q_values=np.array(
+            [np.asarray(v, dtype=np.float64) for v in results.q_values], dtype=object
+        ),
         elbo=float(elbo),
+        # posterior-predictive moments on the validation set [n_val, 4, T] —
+        # the parameterisation-independent face of the posterior
+        iw_predict_mu=np.asarray(results.iw_predict_mu, dtype=np.float64),
+        iw_predict_std=np.asarray(results.iw_predict_std, dtype=np.float64),
         allow_pickle=True,
     )
     print("saved %s (best-val elbo %.2f)" % (path, float(elbo)))
 
 
 def run_reference(seed, epochs, out_dir, spec):
+    _isolate_cwd("reference", seed)
     sys.path.insert(0, HERE)
     import bench_reference  # installs munch/torchdiffeq shims on import
 
@@ -81,10 +106,13 @@ def run_reference(seed, epochs, out_dir, spec):
     settings = Config(args)
     settings.trainer = None
     _, val_results = run_on_split(args, settings)
-    _save(out_dir, "reference", seed, val_results.q_names, val_results.q_values, val_results.elbo)
+    _save(out_dir, "reference", seed, val_results)
 
 
 def run_ours(seed, epochs, out_dir, spec):
+    _isolate_cwd("ours", seed)
+    sys.path.insert(0, REPO)
+    os.environ.setdefault("INFERENCE_RESULTS_DIR", "/tmp/vihds_tpu_results")
     from vihds_tpu.config import Config
     from vihds_tpu.run_xval import create_parser, run_on_split
 
@@ -98,7 +126,7 @@ def run_ours(seed, epochs, out_dir, spec):
     settings = Config(args)
     settings.trainer = None
     _, val_results = run_on_split(args, settings)
-    _save(out_dir, "ours", seed, val_results.q_names, val_results.q_values, val_results.elbo)
+    _save(out_dir, "ours", seed, val_results)
 
 
 def _collect(out_dir, tag):
@@ -109,7 +137,14 @@ def _collect(out_dir, tag):
     runs = []
     for path in sorted(glob.glob(os.path.join(out_dir, "%s_seed*.npz" % tag))):
         with np.load(path, allow_pickle=True) as z:
-            runs.append((list(z["q_names"]), list(z["q_values"]), float(z["elbo"])))
+            runs.append(
+                (
+                    list(z["q_names"]),
+                    list(z["q_values"]),
+                    float(z["elbo"]),
+                    np.asarray(z["iw_predict_mu"]) if "iw_predict_mu" in z else None,
+                )
+            )
     if not runs:
         raise SystemExit("no %s_seed*.npz under %s" % (tag, out_dir))
     return runs
@@ -166,6 +201,44 @@ def compare(out_dir):
         % ([round(r[2], 1) for r in ref_runs], [round(r[2], 1) for r in our_runs]),
         "",
     ]
+
+    # Posterior-predictive parity: the parameterisation-independent face of
+    # the posterior (q-precision sites at this horizon mostly reflect each
+    # implementation's INIT convention — ours starts q at the prior
+    # precision, the reference at unit precision — so the predictive
+    # comparison is the decisive correctness check).
+    if ref_runs[0][3] is not None and our_runs[0][3] is not None:
+        Rp = np.stack([r[3] for r in ref_runs])  # [seeds, n_val, 4, T]
+        Op = np.stack([r[3] for r in our_runs])
+        if Rp.shape[1:] == Op.shape[1:]:
+            mr, mo = Rp.mean(0), Op.mean(0)
+            se = np.sqrt(Rp.var(0, ddof=1) / Rp.shape[0] + Op.var(0, ddof=1) / Op.shape[0])
+            z = np.abs(mr - mo) / np.maximum(se, 1e-12)
+            scale = np.maximum(np.abs(mr).max(axis=(0, 2), keepdims=True), 1e-12)
+            rel = np.abs(mr - mo) / scale
+            lines += [
+                "## Posterior-predictive parity (validation set, %d series x 4 signals x %d times)"
+                % mr.shape[::2],
+                "",
+                "| signal | median z | 90th pct z | median rel err | max rel err |",
+                "|---|---|---|---|---|",
+            ]
+            for s, sig in enumerate(["OD", "mRFP1", "EYFP", "ECFP"]):
+                zs, rs = z[:, s, :], rel[:, s, :]
+                lines.append(
+                    "| %s | %.2f | %.2f | %.4f | %.4f |"
+                    % (sig, np.median(zs), np.percentile(zs, 90), np.median(rs), rs.max())
+                )
+            ok_pred = float(np.median(z)) <= 3.0
+            lines += [
+                "",
+                "**Predictive means %s within MC error (overall median z = %.2f; "
+                "median relative error = %.4f).**"
+                % ("agree" if ok_pred else "DISAGREE", np.median(z), np.median(rel)),
+                "",
+            ]
+        else:
+            lines += ["(predictive shapes differ: %s vs %s)" % (Rp.shape, Op.shape), ""]
     report = "\n".join(lines)
     out = os.path.join(out_dir, "REPORT.md")
     with open(out, "w") as f:
@@ -181,7 +254,7 @@ def main():
         return
     seed = int(sys.argv[2])
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_EPOCHS
-    out_dir = sys.argv[4] if len(sys.argv) > 4 else DEFAULT_OUT
+    out_dir = os.path.abspath(sys.argv[4] if len(sys.argv) > 4 else DEFAULT_OUT)
     spec = sys.argv[5] if len(sys.argv) > 5 else DEFAULT_SPEC
     {"reference": run_reference, "ours": run_ours}[mode](seed, epochs, out_dir, spec)
 

@@ -1,5 +1,7 @@
 """Model zoo registry (parity: reference models/__init__.py:19-35, plus the
-non-precisions degrader variant the reference defines but never registers)."""
+non-precisions degrader variant the reference defines but never registers,
+plus the dr_growthrate reconstruction — its spec ships upstream but the
+model was never implemented there)."""
 
 from vihds_tpu.models import (
     auto_constant,
@@ -7,6 +9,7 @@ from vihds_tpu.models import (
     degrader_constant,
     dr_blackbox,
     dr_constant,
+    dr_growthrate,
     inducer_constant,
     prpr_constant,
     relay_constant,
@@ -23,6 +26,7 @@ LOOKUP = {
     "dr_constant_precisions": dr_constant.DR_Constant_Precisions,
     "dr_constant_precisions_v2": dr_constant.DR_Constant_Precisions_V2,
     "dr_blackbox": dr_blackbox.DR_Blackbox,
+    "dr_growthrate": dr_growthrate.DR_Growthrate,
     "inducer_constant": inducer_constant.Inducer_Constant,
     "inducer_constant_precisions": inducer_constant.Inducer_Constant_Precisions,
     "prpr_constant": prpr_constant.PRPR_Constant,
