@@ -55,9 +55,14 @@ def main():
     )
     mask = jnp.ones((n_batch,), jnp.float32)
 
-    # Measure the fused epoch path (lax.scan over batches, one dispatch):
-    # 50 steps per call, matching how Training.run actually trains.
-    n_steps = 50
+    # Measure the fused multi-epoch path exactly as Training.run dispatches
+    # it: all epochs to the next eval boundary ride ONE device call.  At the
+    # reference default regime (test_epoch=20) on dr_constant_icml that is
+    # 20 epochs x 7 batches = 140 steps per dispatch.  Throughput is
+    # dispatch-size dependent through the tunnel's ~30 ms per-call latency
+    # (measured: 50-step dispatches ~690 steps/s, 140-step ~939 steps/s —
+    # see BASELINE.md), so the benchmark pins the production dispatch size.
+    n_steps = 140
     stack = lambda a: jnp.broadcast_to(a[None], (n_steps,) + a.shape)
     stacks = AttrDict(
         observations=stack(batch.observations),
@@ -87,6 +92,9 @@ def main():
                 "value": round(steps_per_sec, 4),
                 "unit": "steps/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "spread_min": round(float(np.min(rates)), 1),
+                "spread_max": round(float(np.max(rates)), 1),
+                "steps_per_dispatch": n_steps,
             }
         )
     )

@@ -85,6 +85,117 @@ def test_pallas_gradient_matches_scan(setup):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5, err_msg=name)
 
 
+@pytest.fixture(scope="module")
+def setup_prec():
+    args = make_args(spec("dr_constant_precisions.yaml"))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = batch_arrays(data.train.dataset.select(np.arange(3)))
+    q = model.encoder(params["enc"], batch)
+    u = model.sample_u(jax.random.PRNGKey(1), 3, 4)
+    theta = program.clip(program.sample(q, u), stddevs=4)
+    th = program.theta_dict(theta)
+    th = model.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
+    return model, params, batch, th
+
+
+def test_pallas_precisions_matches_scan(setup_prec):
+    """The 12-state dr_prec kernel (learned-precision ODE block in-kernel)
+    must match the XLA scan path."""
+    model, params, batch, th = setup_prec
+    ode = model.ode_model
+    assert ode.precisions.dynamic and ode._pallas_supported()
+    c = _dr_constants(th, batch.inputs, 1)
+    y0 = jnp.broadcast_to(
+        ode.initialize_state(params["dec"], th, batch.inputs, 3, 4), (3, 4, 12)
+    )
+    rhs = ode.make_rhs(params["dec"], th, batch.inputs, batch.dev_1hot)
+    ref = np.asarray(integrate(rhs, y0, batch.times, method="midpoint"))
+    got = np.asarray(
+        pallas_ode.dr_constant_precisions_simulate(
+            c, params["dec"]["precisions"], y0, batch.times,
+            method="midpoint", block_rows=8, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_precisions_gradients(setup_prec):
+    """Backward sweep gradients flow to theta constants, the precision-net
+    weights, and y0 — and match the XLA scan path."""
+    model, params, batch, th = setup_prec
+    ode = model.ode_model
+    c = _dr_constants(th, batch.inputs, 1)
+    pp = params["dec"]["precisions"]
+    y0 = jnp.broadcast_to(
+        ode.initialize_state(params["dec"], th, batch.inputs, 3, 4), (3, 4, 12)
+    )
+
+    def loss_pallas(c, pp, y0):
+        sol = pallas_ode.dr_constant_precisions_simulate(
+            c, pp, y0, batch.times, method="midpoint", block_rows=8, interpret=True
+        )
+        return jnp.sum(sol[-1] ** 2) + jnp.sum(jnp.abs(sol[40]))
+
+    def loss_scan(c, pp, y0):
+        from vihds_tpu.models.dr_constant import _dr_species_rhs
+
+        def rhs(t, y):
+            dX = _dr_species_rhs(c, t, y)
+            dV = ode.precisions.rhs(pp, t, y, None)
+            return jnp.concatenate([dX, dV], axis=-1)
+
+        sol = integrate(rhs, y0, batch.times, method="midpoint")
+        return jnp.sum(sol[-1] ** 2) + jnp.sum(jnp.abs(sol[40]))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(c, pp, y0)
+    g2 = jax.grad(loss_scan, argnums=(0, 1, 2))(c, pp, y0)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(g2[2]), rtol=1e-3, atol=1e-6)
+    for net in ("prod", "degr"):
+        for leaf in ("w", "b"):
+            a, b = np.asarray(g1[1][net][leaf]), np.asarray(g2[1][net][leaf])
+            assert np.isfinite(a).all(), (net, leaf)
+            assert np.abs(a).max() > 0, "zero weight grads: %s/%s" % (net, leaf)
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5, err_msg=net + leaf)
+    for name in g2[0]:
+        a, b = np.asarray(g1[0][name]), np.asarray(g2[0][name])
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_pallas_precisions_routing(setup_prec):
+    """solver: pallas_midpoint on a *_precisions model routes through the
+    fused 12-state kernel."""
+    model, params, batch, th = setup_prec
+    ode = model.ode_model
+    old = ode.solver
+    try:
+        ode.solver = "pallas_midpoint"
+        import vihds_tpu.ops.pallas_ode as pk
+
+        orig = pk.dr_constant_precisions_simulate
+        calls = {}
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        pk.dr_constant_precisions_simulate = spy
+        try:
+            sol = ode.simulate(params["dec"], th, batch.times, batch.inputs, batch.dev_1hot, 4)
+        finally:
+            pk.dr_constant_precisions_simulate = orig
+        assert calls.get("hit"), "pallas precisions path not taken"
+        assert sol.shape == (3, 4, 12, batch.times.shape[0])
+        assert np.isfinite(np.asarray(sol)).all()
+    finally:
+        ode.solver = old
+
+
 def test_pallas_solver_routing(setup):
     """solver: pallas_midpoint routes through the kernel end-to-end."""
     model, params, batch, th = setup
