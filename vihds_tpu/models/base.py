@@ -52,6 +52,12 @@ class ConstantPrecisions:
         precisions = jnp.stack([theta[v] for v in self.precision_vars], axis=-1)
         return x_states, precisions[:, :, :, None]
 
+    def at_time(self, params, theta, y):
+        """Single-time counterpart of ``expand``: y[B,K,S] at ONE grid point
+        -> (states[B,K,S], precisions[B,K,P]).  theta is loop-invariant, so
+        XLA hoists the stack out of the solver scan."""
+        return y, jnp.stack([theta[v] for v in self.precision_vars], axis=-1)
+
 
 class NeuralPrecisions:
     """Precisions as extra ODE states with learned production/degradation
@@ -109,6 +115,14 @@ class NeuralPrecisions:
         else:
             prec = x_states[:, :, -self.n_outputs :, :]
         return x_states[:, :, : -self.n_outputs, :], prec
+
+    def at_time(self, params, theta, y):
+        """Single-time counterpart of ``expand``: split the trailing
+        precision states off y[B,K,S_total]."""
+        prec = y[..., -self.n_outputs :]
+        if self.inverse:
+            prec = 1.0 / prec
+        return y[..., : -self.n_outputs], prec
 
 
 class NeuralStates:
@@ -225,6 +239,54 @@ class OdeModel:
             adjoint=self.adjoint,
         )  # [T, B, K, S]
         return jnp.transpose(sol, (1, 2, 3, 0))
+
+    def supports_fold(self):
+        """True when the training objective can run through the fused
+        online-log-likelihood path (``simulate_logprob``): fixed-grid solver
+        scans only — adaptive/adjoint/Pallas-forward solvers keep the
+        trajectory-materialising path."""
+        from vihds_tpu.ops.solvers import FIXED_GRID_SOLVERS
+
+        return (self.solver in FIXED_GRID_SOLVERS) and not self.adjoint
+
+    def simulate_logprob(
+        self,
+        params,
+        theta,
+        times,
+        treatments,
+        dev_1hot,
+        n_iwae,
+        observations,
+        use_laplace=False,
+        checkpoint=False,
+    ):
+        """Observation log-likelihood by species [B, K, S_obs] accumulated
+        ONLINE inside the solver scan — the [B,K,S,T] trajectory is never
+        materialised (see ops/solvers.integrate_fold).  Numerically this is
+        the same ``sum_t log p(x_t | y_t)`` the trajectory path computes
+        (reference vihds/training.py:24-33), evaluated per step instead of
+        at the end.  Every model's ``observe`` indexes [:, :, i, :], so one
+        trailing singleton time axis makes it a per-time map."""
+        from vihds_tpu.ops.logprob import log_prob_gaussian, log_prob_laplace
+        from vihds_tpu.ops.solvers import integrate_fold
+
+        n_batch = treatments.shape[0]
+        y0 = self.initialize_state(params, theta, treatments, n_batch, n_iwae)
+        rhs = self.make_rhs(params, theta, treatments, dev_1hot)
+        prec_params = params.get("precisions", {})
+        lp = log_prob_laplace if use_laplace else log_prob_gaussian
+
+        def fold(y, obs_t):
+            states, prec = self.precisions.at_time(prec_params, theta, y)
+            pred = self.observe(states[..., None], theta)[..., 0]  # [B,K,4]
+            return lp(obs_t[:, None, :], pred, prec)
+
+        obs_tbs = jnp.moveaxis(observations, -1, 0)  # [T, B, S]
+        _, acc = integrate_fold(
+            rhs, y0, times, fold, obs_tbs, method=self.solver, checkpoint=checkpoint
+        )
+        return acc
 
     def observe(self, x_states, theta):
         """Default 8-state observation map (parity: vihds/ode.py:84-93)."""

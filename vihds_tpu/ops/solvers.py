@@ -83,6 +83,39 @@ def integrate_fixed(rhs, y0, times, method="midpoint", checkpoint=False, unroll=
     return jnp.concatenate([y0[None], ys], axis=0)
 
 
+def integrate_fold(rhs, y0, times, fold, xs, method="midpoint", checkpoint=False, unroll=4):
+    """Integrate WITHOUT materialising the trajectory: after every step the
+    per-time contribution ``fold(y_t, xs_t)`` is summed into the scan carry
+    (the t=0 term folds outside the scan).  ``xs`` is a pytree of per-time
+    arrays with leading axis T, streamed through the scan as inputs — no
+    dynamic indexing.  Returns ``(y_final, sum_t fold(y_t, xs_t))``.
+
+    This is the training-objective formulation of the solve: the IWAE
+    log-likelihood only needs ``sum_t log p(x_t | y_t)``, so accumulating it
+    online removes the [T, B, K, S] trajectory buffer entirely — both the
+    forward's dynamic-update-slice writes (~20% of device step time,
+    reports/trainstep_profile/REPORT.md) and the backward's stacked
+    cotangent stream.  Fixed-grid methods only.
+    """
+    step_fn = FIXED_GRID_SOLVERS[method]
+    xs0 = jax.tree_util.tree_map(lambda a: a[0], xs)
+    xs_rest = jax.tree_util.tree_map(lambda a: a[1:], xs)
+    acc0 = fold(y0, xs0)
+
+    def step(carry, inp):
+        y, acc = carry
+        t1, t2, x_t = inp
+        y_new = step_fn(rhs, y, t1, t2, t2 - t1)
+        return (y_new, acc + fold(y_new, x_t)), None
+
+    if checkpoint:
+        step = jax.checkpoint(step)
+    (y_final, acc), _ = lax.scan(
+        step, (y0, acc0), (times[:-1], times[1:], xs_rest), unroll=unroll
+    )
+    return y_final, acc
+
+
 def integrate(rhs, y0, times, method="midpoint", checkpoint=False, adjoint=False, **opts):
     """Integrate and return [T, *y0.shape].
 

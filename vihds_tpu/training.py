@@ -75,6 +75,8 @@ def dreg_value_and_grad(model, program, n_samples, use_laplace):
         reparameterised sample path contributes (no score-function term).
     """
 
+    fold_ok = model.ode_model.supports_fold()
+
     def value_and_grad(params, batch, mask, key):
         B = batch.observations.shape[0]
 
@@ -83,10 +85,16 @@ def dreg_value_and_grad(model, program, n_samples, use_laplace):
             # remat the solver steps: the backward otherwise streams ~24MB of
             # per-step residuals through HBM with layout-converting copies —
             # recomputing the RHS is 2.5x faster on v5e (see BASELINE.md)
-            out = model.forward(params, batch, u, checkpoint=True)
-            log_p_by_species = log_prob_observations(
-                out.x_predict, batch.observations, out.precisions, use_laplace
-            )
+            if fold_ok:
+                # online log-lik inside the solver scan — no [B,K,S,T]
+                # trajectory buffer (OdeModel.simulate_logprob)
+                out = model.forward_logprob(params, batch, u, checkpoint=True)
+                log_p_by_species = out.log_p_by_species
+            else:
+                out = model.forward(params, batch, u, checkpoint=True)
+                log_p_by_species = log_prob_observations(
+                    out.x_predict, batch.observations, out.precisions, use_laplace
+                )
             log_lik = log_p_by_species.sum(axis=2)
             log_p = program.log_prob(program.prior_q(), out.theta)
             log_q = program.log_prob(out.q, out.theta)
@@ -235,12 +243,23 @@ class Training:
         use_laplace = model.use_laplace
         n_train_samples = self.args.train_samples
 
+        fold_ok = model.ode_model.supports_fold()
+
         def loss_fn(params, batch, mask, key):
             u = model.sample_u(key, batch.observations.shape[0], n_train_samples)
             # checkpoint=True: recompute solver steps in backward (2.5x faster
             # than storing residuals at these shapes; identical numerics)
-            out = model.forward(params, batch, u, checkpoint=True)
-            terms = iwae_elbo_terms(program, out, batch, use_laplace)
+            if fold_ok:
+                # online log-lik inside the solver scan — no [B,K,S,T]
+                # trajectory buffer (OdeModel.simulate_logprob)
+                out = model.forward_logprob(params, batch, u, checkpoint=True)
+                log_p_obs = out.log_p_by_species.sum(axis=2)
+                log_q = program.log_prob(out.q, out.theta)
+                log_p = program.log_prob(program.prior_q(), out.theta)
+                terms = AttrDict(log_w=log_p_obs + log_p - log_q)
+            else:
+                out = model.forward(params, batch, u, checkpoint=True)
+                terms = iwae_elbo_terms(program, out, batch, use_laplace)
             elbo = iwae_elbo(terms, mask)
             return -elbo
 

@@ -100,6 +100,34 @@ class VAE:
         )
 
 
+    def forward_logprob(self, params, batch, u, checkpoint=True):
+        """Training-objective forward: encode -> sample -> clip -> condition
+        -> integrate with the observation log-likelihood accumulated ONLINE
+        in the solver scan (OdeModel.simulate_logprob) — the [B,K,S,T]
+        trajectory is never materialised.  Returns AttrDict with
+        log_p_by_species[B,K,4], theta (sampled, what log q / log p score)
+        and q.  Same latent pipeline as ``forward``; only the decoder tail
+        differs."""
+        q = self.encoder(params["enc"], batch)
+        theta = self.program.sample(q, u)
+        clipped = self.program.clip(theta, stddevs=4)
+        th = self.program.theta_dict(clipped)
+        if self.condition_on_device:
+            th = self.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
+        log_p_by_species = self.ode_model.simulate_logprob(
+            params["dec"],
+            th,
+            batch.times,
+            batch.inputs,
+            batch.dev_1hot,
+            n_iwae=u.shape[1],
+            observations=batch.observations,
+            use_laplace=self.use_laplace,
+            checkpoint=checkpoint,
+        )
+        return AttrDict(log_p_by_species=log_p_by_species, theta=theta, q=q)
+
+
 def build_model(args, settings, dataset, program=None):
     """Parse the spec's parameter tiers and assemble the VAE
     (parity: vihds/vae.py:39-51)."""
