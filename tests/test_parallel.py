@@ -29,12 +29,24 @@ def _setup():
     return program, model, batch
 
 
-def _make_step(model, program, tx):
+def _make_step(model, program, tx, fold=False):
     def train_step(params, opt_state, batch, mask, key):
         def loss_fn(params):
             u = model.sample_u(key, batch.observations.shape[0], N_SAMPLES)
-            out = model.forward(params, batch, u)
-            terms = iwae_elbo_terms(program, out, batch, model.use_laplace)
+            if fold:
+                # the production training objective (online log-lik scan)
+                out = model.forward_logprob(params, batch, u)
+                from vihds_tpu.utils.attrdict import AttrDict
+
+                log_w = (
+                    out.log_p_by_species.sum(axis=2)
+                    + program.log_prob(program.prior_q(), out.theta)
+                    - program.log_prob(out.q, out.theta)
+                )
+                terms = AttrDict(log_w=log_w)
+            else:
+                out = model.forward(params, batch, u)
+                terms = iwae_elbo_terms(program, out, batch, model.use_laplace)
             return -iwae_elbo(terms, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -45,14 +57,15 @@ def _make_step(model, program, tx):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_step_matches_single_device():
+@pytest.mark.parametrize("fold", [False, True], ids=["trajectory", "fold"])
+def test_sharded_step_matches_single_device(fold):
     program, model, batch = _setup()
     tx = optax.adam(1e-2)
     params = model.init_params(jax.random.PRNGKey(0))
     opt_state = tx.init(params)
     mask = jnp.ones((N_BATCH,), jnp.float32)
     key = jax.random.PRNGKey(7)
-    step = _make_step(model, program, tx)
+    step = _make_step(model, program, tx, fold=fold)
 
     p1, _, elbo1 = jax.jit(step)(params, opt_state, batch, mask, key)
 

@@ -112,8 +112,11 @@ def plot_prediction_summary(
             if r == grid.n_rows - 1:
                 ax.set_xlabel("Time (h)")
         grid.row_label(r, device_names[device], fontsize=None)
-    for c, signal in enumerate(signal_names):
-        grid.col_title(c, signal, fontsize=None)
+    # Title only the panel columns: callers may pass the full species-name
+    # list (the observed channels are its first entries — same indexing
+    # contract as the reference, vihds/plotting.py:46-47).
+    for c in range(grid.n_cols):
+        grid.col_title(c, signal_names[c], fontsize=None)
     return grid.done()
 
 
