@@ -18,9 +18,11 @@ from vihds_tpu.vae import VAE
 N, K = 5, 6
 
 
-def _setup(name):
+def _setup(name, use_laplace=False):
     args = make_args(spec(name))
     settings = Config(args)
+    if use_laplace:
+        settings.params.use_laplace = True
     data = build_datasets(args, settings)
     program = ParamProgram(parse_parameters(settings.params))
     model = VAE(settings, data, program)
@@ -29,8 +31,9 @@ def _setup(name):
     return program, model, params, batch
 
 
-def _losses(name, checkpoint):
-    program, model, params, batch = _setup(name)
+def _losses(name, checkpoint, use_laplace=False):
+    program, model, params, batch = _setup(name, use_laplace=use_laplace)
+    assert model.use_laplace == use_laplace
     assert model.ode_model.supports_fold()
     key = jax.random.PRNGKey(7)
     mask = jnp.ones((N,), jnp.float32)
@@ -76,6 +79,14 @@ def test_fold_matches_trajectory_value_and_grad(name):
         a, b = np.asarray(a), np.asarray(b)
         # identical math, different float32 accumulation order
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_fold_matches_trajectory_laplace():
+    """use_laplace: the fold path must dispatch the Laplace log-lik too."""
+    params, loss_traj, loss_fold = _losses("dr_constant_one.yaml", checkpoint=True, use_laplace=True)
+    v1 = loss_traj(params)
+    v2 = loss_fold(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-5)
 
 
 def test_training_uses_fold_and_converges_same():
