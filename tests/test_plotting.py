@@ -49,6 +49,24 @@ def test_prediction_summary(synth):
     assert f is not None
 
 
+def test_prediction_summary_accepts_full_species_list(synth):
+    """xval.make_images passes the FULL species-name list (8 names for
+    dr_constant) while the prediction grid has only the 4 observed signal
+    columns — the extra names must be ignored, not crash (regression:
+    IndexError in the 2-fold e2e run)."""
+    f = plotting.plot_prediction_summary(
+        synth.settings.devices,
+        ["OD", "RFP", "YFP", "CFP", "F530", "F480", "LuxR", "LasR"],
+        synth.times,
+        synth.X_obs,
+        synth.iw_predict_mu,
+        synth.iw_predict_std,
+        synth.devices,
+        "-",
+    )
+    assert f is not None
+
+
 def test_species_summary(synth):
     f = plotting.species_summary(
         ["OD", "RFP", "YFP", "CFP"],
