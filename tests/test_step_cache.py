@@ -1,0 +1,80 @@
+"""Cross-fold compiled-step reuse: Training instances with identical
+configuration (spec, priors, shapes, schedule, mesh) must share their jitted
+train/eval steps — one XLA compile per configuration, not per fold — and the
+reuse must be numerically invisible."""
+
+import numpy as np
+import jax
+
+from tests.conftest import make_args, spec
+from vihds_tpu import training as T
+from vihds_tpu.config import Config
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.vae import VAE
+
+
+def _training(split, **arg_overrides):
+    args = make_args(spec("dr_constant_one.yaml"), **arg_overrides)
+    args.split = split
+    args.folds = 2
+    args.epochs = 2
+    args.test_epoch = 2
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    return T.Training(args, settings, data, program, model)
+
+
+def test_folds_share_compiled_steps_and_results_are_unchanged():
+    T._STEP_CACHE.clear()
+    t1 = _training(split=1)
+    t2 = _training(split=2)
+    assert len(T._STEP_CACHE) == 1
+    assert t2._train_epoch is t1._train_epoch
+    assert t2._eval_split is t1._eval_split
+
+    # fold 2 through the CACHED steps
+    res_cached = t2.run()
+    cached_elbos = list(res_cached.elbo_list)
+
+    # fold 2 with a cold cache (its own compile)
+    T._STEP_CACHE.clear()
+    t2_fresh = _training(split=2)
+    assert t2_fresh._train_epoch is not t2._train_epoch
+    res_fresh = t2_fresh.run()
+    np.testing.assert_array_equal(cached_elbos, list(res_fresh.elbo_list))
+    np.testing.assert_allclose(res_cached.elbo, res_fresh.elbo, rtol=0, atol=0)
+
+
+def test_cache_key_sensitivity():
+    T._STEP_CACHE.clear()
+    _training(split=1)
+    _training(split=1, train_samples=11)  # different K -> different program
+    assert len(T._STEP_CACHE) == 2
+    _training(split=1, dreg=True)  # different estimator
+    assert len(T._STEP_CACHE) == 3
+
+
+def test_prior_change_invalidates_cache():
+    """Inference-graph prior propagation mutates settings.params between
+    nodes; the baked-in prior moments must be part of the key."""
+    T._STEP_CACHE.clear()
+    args = make_args(spec("dr_constant_one.yaml"))
+    args.epochs = 2
+    args.test_epoch = 2
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    T.Training(args, settings, data, program, model)
+
+    settings.params.local.r.mu = float(settings.params.local.r.mu) + 0.5
+    program2 = ParamProgram(parse_parameters(settings.params))
+    model2 = VAE(settings, data, program2)
+    T.Training(args, settings, data, program2, model2)
+    assert len(T._STEP_CACHE) == 2

@@ -161,6 +161,17 @@ def batch_arrays(subset_batch):
     )
 
 
+# Compiled-step cache: cross-validation folds (and inference-graph node
+# folds) build functionally identical programs — same spec, same shapes,
+# same priors — so the jitted train/eval steps compile ONCE per
+# configuration and are reused across Training instances.  The key captures
+# everything the traced computation bakes in as constants: the compiled
+# probabilistic program (site names + prior moments + constants), model
+# name, solver config, objective flags, schedule, shapes, and mesh layout.
+# Saves one full XLA compile (minutes on TPU) per fold after the first.
+_STEP_CACHE = {}
+
+
 class Training:
     """Orchestrates training of the latent space using the IWAE bound
     (parity: vihds/training.py:71-383)."""
@@ -195,6 +206,7 @@ class Training:
             )
         else:
             steps_per_epoch = max(1, math.ceil(data.n_train / self.n_batch))
+        self.steps_per_epoch = steps_per_epoch
         boundaries = {
             int(b) * steps_per_epoch: p.learning_gamma for b in p.learning_boundaries
         }
@@ -238,7 +250,61 @@ class Training:
         self._build_steps()
 
     # ------------------------------------------------------------------ steps
+    def _steps_cache_key(self):
+        """Fingerprint of everything the jitted steps bake in as constants."""
+        import hashlib
+
+        prog = self.program
+        pq = prog.prior_q()
+        h = hashlib.sha1()
+        h.update(np.asarray(pq.mu).tobytes())
+        h.update(np.asarray(pq.prec).tobytes())
+        h.update(np.asarray(prog.const_value).tobytes())
+        h.update(",".join(s.name for s in prog.sites.ordered).encode())
+        p = self.settings.params
+        host = self.train_data
+        if self.mesh is None:
+            mesh_key = None
+        else:
+            mesh_key = (
+                tuple(self.mesh.shape.items()),
+                tuple(d.id for d in self.mesh.devices.flat),
+            )
+        return (
+            self.settings.model,
+            p.solver,
+            p.get("eval_solver"),
+            bool(p.adjoint_solver),
+            self.model.use_laplace,
+            bool(getattr(self.args, "dreg", False)),
+            self.args.train_samples,
+            self.n_batch,
+            self.steps_per_epoch,
+            float(p.learning_rate),
+            tuple(int(b) for b in p.learning_boundaries),
+            float(p.learning_gamma),
+            p.get("grad_clip_norm"),
+            self.multi,
+            None if self.multi else host.observations.shape[1:],
+            None if self.multi else len(host.times),
+            mesh_key,
+            h.hexdigest(),
+        )
+
     def _build_steps(self):
+        key = self._steps_cache_key()
+        cached = _STEP_CACHE.get(key)
+        if cached is not None:
+            # A previous fold/node already compiled this exact configuration:
+            # its jitted steps close over a functionally identical model /
+            # program / optimiser (all hyperparameters are in the key; fold
+            # data enters as arguments), so reuse them verbatim.
+            self._train_epoch, self._eval_split = cached
+            return
+        self._build_steps_uncached()
+        _STEP_CACHE[key] = (self._train_epoch, self._eval_split)
+
+    def _build_steps_uncached(self):
         model, program = self.model, self.program
         use_laplace = model.use_laplace
         n_train_samples = self.args.train_samples
