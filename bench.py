@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     from __graft_entry__ import _build
     from vihds_tpu.training import Training
 

@@ -41,3 +41,25 @@ def test_spec_builds(spec_name):
     assert "enc" in params and "dec" in params
     assert model.n_theta == program.n_theta
     assert len(model.state_names) == model.ode_model.n_species
+
+
+def test_missing_spec_file_is_a_clean_error(tmp_path):
+    with pytest.raises(SystemExit, match=r"Spec file not found.*did you mean.*specs"):
+        Config(make_args("dr_constant_one.yaml"))
+
+
+def test_nested_model_key_is_a_clean_error(tmp_path):
+    """The reference's debug.yaml family nests model: under params: and
+    crashes with AttributeError (reference vihds/config.py:159); here the
+    malformation is diagnosed with a fix hint."""
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("data:\n  files: [R33S32_Y81C76.csv]\nparams:\n  model: dr_constant\n")
+    with pytest.raises(SystemExit, match=r"no top-level 'model:'.*move it to the top level"):
+        Config(make_args(str(bad)))
+
+
+def test_missing_section_is_a_clean_error(tmp_path):
+    bad = tmp_path / "bad2.yaml"
+    bad.write_text("model: dr_constant\nparams: {}\n")
+    with pytest.raises(SystemExit, match=r"missing its 'data:' section"):
+        Config(make_args(str(bad)))

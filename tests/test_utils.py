@@ -53,3 +53,31 @@ def test_data_directory_env(monkeypatch, tmp_path):
     assert config.get_data_directory() == str(tmp_path)
     monkeypatch.delenv("INFERENCE_DATA_DIR")
     assert config.get_data_directory().endswith("data")
+
+
+def test_enable_compile_cache(monkeypatch, tmp_path):
+    """Persistent-compile-cache plumbing: env off disables; explicit dir and
+    env dir are honoured and created; jitted work lands entries on disk."""
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("VIHDS_COMPILE_CACHE", "off")
+        assert profiling.enable_compile_cache() is None
+
+        monkeypatch.setenv("VIHDS_COMPILE_CACHE", str(tmp_path / "via_env"))
+        path = profiling.enable_compile_cache()
+        assert path == str(tmp_path / "via_env") and os.path.isdir(path)
+        assert jax.config.jax_compilation_cache_dir == path
+
+        explicit = str(tmp_path / "explicit")
+        assert profiling.enable_compile_cache(explicit) == explicit
+
+        # Functional: a fresh compile is persisted (threshold lowered so the
+        # tiny CPU program qualifies).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.jit(lambda x: jnp.sin(x) * 3 + 1)(jnp.arange(7.0)).block_until_ready()
+        assert os.listdir(explicit), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -31,6 +31,9 @@ def execute(args, settings):
 
 
 def main(argv=None):
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     parser = create_parser(False)
     args = parser.parse_args(argv)
     settings = Config(args)

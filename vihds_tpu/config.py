@@ -130,8 +130,32 @@ class Config:
         args = _tidy_args(args)
         if args.yaml is None:
             return
+        if not os.path.exists(args.yaml):
+            hint = ""
+            specs = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "specs")
+            candidate = os.path.join(specs, os.path.basename(args.yaml))
+            if os.path.exists(candidate):
+                hint = " (did you mean %s?)" % candidate
+            raise SystemExit("Spec file not found: %s%s" % (args.yaml, hint))
         with open(args.yaml, "r") as stream:
             config = attrdictify(yaml.safe_load(stream))
+        for section in ("data", "params"):
+            if section not in config:
+                raise SystemExit(
+                    "Spec %s is missing its '%s:' section" % (args.yaml, section)
+                )
+        if "model" not in config:
+            # The reference's debug.yaml family nests model: under params:
+            # and then crashes (reference vihds/config.py:159); fail clearly.
+            raise SystemExit(
+                "Spec %s has no top-level 'model:' key%s"
+                % (
+                    args.yaml,
+                    " (found one nested under params: — move it to the top level)"
+                    if "model" in config.params
+                    else "",
+                )
+            )
         self.data = apply_defaults_data(config.data)
         self.params = apply_defaults_params(config.params)
         if getattr(args, "precision_hidden_layers", None) is not None:

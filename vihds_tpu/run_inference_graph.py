@@ -107,6 +107,9 @@ def _find_completed(rootpath, node):
 
 
 def _run_node(node, resultmap):
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()  # idempotent; covers spawn-start worker processes
     settings = Config(node.args)
     settings.trainer = Trainer(node.args, add_timestamp=True)
     propagate_params(node, settings, resultmap)
@@ -149,6 +152,9 @@ def run_graph(graph_name, staged_nodes, jobs=1):
 
 
 def main(argv=None):
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = create_parser().parse_args(argv)
     graph_map = ig.create_inference_graph(args.yaml, args.graph)
     staged_nodes = ig.arrange_by_stage(graph_map.values())

@@ -148,6 +148,9 @@ def run_on_split(args, settings, split=None):
 
 
 def main(argv=None):
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     parser = create_parser(True)
     args = parser.parse_args(argv)
     settings = Config(args)

@@ -254,12 +254,14 @@ class Training:
         """Fingerprint of everything the jitted steps bake in as constants."""
         import hashlib
 
+        # Fingerprint from the program's HOST-side numpy constants only:
+        # touching device arrays here (e.g. prior_q()) costs a device
+        # round-trip per array — ~20 s each through the TPU tunnel.
         prog = self.program
-        pq = prog.prior_q()
         h = hashlib.sha1()
-        h.update(np.asarray(pq.mu).tobytes())
-        h.update(np.asarray(pq.prec).tobytes())
-        h.update(np.asarray(prog.const_value).tobytes())
+        h.update(prog.prior_mu.tobytes())
+        h.update(prog.prior_prec.tobytes())
+        h.update(prog.const_value.tobytes())
         h.update(",".join(s.name for s in prog.sites.ordered).encode())
         p = self.settings.params
         host = self.train_data
