@@ -1,0 +1,163 @@
+"""Amortised serving (vihds_tpu.predict): checkpoint restore + prediction on
+new CSVs must reproduce the trained model's coordinates exactly — same time
+grid, same normalisation, same q — with clean errors on vocabulary misses.
+(Capability beyond the reference, which never saves model weights.)"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from tests.conftest import make_args, spec
+from vihds_tpu import checkpoint as ckpt
+from vihds_tpu import predict as P
+from vihds_tpu.config import Config
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import Training
+from vihds_tpu.vae import VAE
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(HERE, "data")
+
+
+def _checkpointed_model(tmp_path, spec_name="dr_constant_one.yaml"):
+    args = make_args(spec(spec_name))
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    training = Training(args, settings, data, program, model)
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    ckpt_dir = str(tmp_path / "ckpts")
+    ckpt.save(ckpt_dir, 3, params, training.tx.init(params), key, extra={"epoch": 3})
+    return args, settings, data, program, model, training, params, ckpt_dir
+
+
+def test_predict_matches_direct_eval_on_training_file(tmp_path):
+    """Serving the training CSV as 'new data' must produce exactly the q the
+    trained encoder produces on the dataset rows: the loader re-applies the
+    training scales and grid, and q is deterministic given (params, x)."""
+    args, settings, data, program, model, training, params, ckpt_dir = _checkpointed_model(tmp_path)
+
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 8
+    out = P.predict(pargs)
+    assert out.epoch == 3
+
+    # direct evaluation of the full dataset in CSV row order
+    full = data.train.dataset
+    host = full.select(np.arange(len(full)))
+    merged, _ = training.evaluate(params, host, 8, jax.random.PRNGKey(42))
+
+    np.testing.assert_allclose(out.merged.q_mu, merged.q_mu, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out.merged.q_prec, merged.q_prec, rtol=1e-5, atol=1e-6)
+    # host batch reproduces the training preprocessing bit-for-bit
+    np.testing.assert_array_equal(out.host.observations, host.observations)
+    np.testing.assert_array_equal(out.host.inputs, host.inputs)
+    np.testing.assert_array_equal(out.host.dev_1hot, host.dev_1hot)
+
+    # predictive outputs: finite, right shapes
+    B, S, T = host.observations.shape
+    assert out.merged.iw_predict_mu.shape == (B, 4, T)
+    assert np.isfinite(out.merged.iw_predict_mu).all()
+    assert np.isfinite(out.merged.per_item_elbo).all()
+    assert out.results.species_names is not None
+
+
+def test_predict_is_deterministic(tmp_path):
+    *_, ckpt_dir = _checkpointed_model(tmp_path)
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    a = P.predict(pargs)
+    b = P.predict(pargs)
+    np.testing.assert_array_equal(a.merged.iw_predict_mu, b.merged.iw_predict_mu)
+    np.testing.assert_array_equal(a.merged.per_item_elbo, b.merged.per_item_elbo)
+
+
+def test_predict_vocabulary_miss_is_clean(tmp_path):
+    *_, ckpt_dir = _checkpointed_model(tmp_path)
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    # proc141021.csv has no Pcat_Y81C76 rows
+    pargs.data = [os.path.join(DATA, "proc141021.csv")]
+    pargs.test_samples = 4
+    with pytest.raises(SystemExit, match="No rows .* match the spec's devices"):
+        P.predict(pargs)
+
+
+def test_predict_missing_checkpoint_is_clean(tmp_path):
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = str(tmp_path / "nothing_here")
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    with pytest.raises(SystemExit, match="No checkpoint found"):
+        P.predict(pargs)
+
+
+def test_save_predictions_npz(tmp_path):
+    *_, ckpt_dir = _checkpointed_model(tmp_path)
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    pargs.save_theta = True
+    settings = Config(pargs)
+    out = P.predict(pargs, settings)
+    path = str(tmp_path / "pred.npz")
+    P.save_predictions(path, out, pargs, settings)
+    z = np.load(path, allow_pickle=True)
+    for k in (
+        "iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance",
+        "per_item_elbo", "elbo", "q_mu", "q_prec", "q_names",
+        "species_names", "devices", "device_names", "inputs",
+        "observations", "times", "scales", "checkpoint_epoch", "theta",
+    ):
+        assert k in z, k
+    assert z["theta"].shape[2] == 4  # K
+    assert len(z["scales"]) == 4
+
+
+@pytest.mark.slow
+def test_predict_cli_end_to_end(tmp_path):
+    """Full serving loop through both CLIs: train with --checkpoint_epoch,
+    then python -m vihds_tpu.predict on a 'new' CSV with figures."""
+    import glob
+
+    from tests.test_run_xval import run_cli
+
+    r = run_cli(
+        "vihds_tpu.run_xval",
+        [spec("dr_constant_one.yaml"), "--experiment=svc", "--checkpoint_epoch=2"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    (ckpt_dir,) = glob.glob(str(tmp_path / "svc_*" / "checkpoints_*"))
+
+    out = str(tmp_path / "pred.npz")
+    r2 = run_cli(
+        "vihds_tpu.predict",
+        [
+            spec("dr_constant_one.yaml"),
+            "--checkpoint=" + ckpt_dir,
+            "--data=" + os.path.join(DATA, "proc141006.csv"),
+            "--output=" + out,
+            "--figures",
+        ],
+        tmp_path,
+    )
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    z = np.load(out, allow_pickle=True)
+    assert np.isfinite(z["iw_predict_mu"]).all()
+    assert np.isfinite(float(z["elbo"]))
+    # --checkpoint_epoch=2 over 4 epochs saves at 2 and 4; restore = latest
+    assert int(z["checkpoint_epoch"]) == 4
+    assert os.path.exists(str(tmp_path / "pred.png"))
+    assert os.path.exists(str(tmp_path / "pred.pdf"))

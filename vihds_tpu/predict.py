@@ -1,0 +1,246 @@
+"""Amortised posterior serving: predictions on UNSEEN data from a trained
+checkpoint.
+
+The reference has no serving path at all: it never saves model weights (no
+torch.save anywhere — reference vihds/utils.py:101-156 persists results
+tensors only), so a trained posterior is usable only through the artifacts
+written during the same process.  Here the amortisation that gives the
+method its name is served directly: restore a checkpoint (written by
+``run_xval --checkpoint_epoch N``), parse a NEW plate-reader CSV with the
+spec's device/treatment vocabulary, snap it onto the training time grid,
+re-apply the TRAINING normalisation, and run one jitted evaluation —
+q(theta | x_new) -> K theta samples -> ODE simulate -> IWAE-weighted
+posterior-predictive moments — with no retraining.  With the persistent
+compilation cache warm (any prior run of the same config), a serving call
+starts in seconds.
+
+CLI::
+
+  python -m vihds_tpu.predict <spec.yaml> --checkpoint DIR --data NEW.csv \
+      [--data MORE.csv ...] [--test_samples K] [--output out.npz] \
+      [--save_theta] [--figures] [--mesh auto]
+
+Library::
+
+  from vihds_tpu.predict import predict
+  out = predict(args)          # args from create_parser().parse_args(...)
+"""
+
+import copy
+import os
+
+import numpy as np
+
+from vihds_tpu.config import Config
+from vihds_tpu.data import procdata
+from vihds_tpu.data.datasets import TimeSeriesDataset, build_datasets, find_nearest
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import Training
+from vihds_tpu.utils.attrdict import AttrDict
+from vihds_tpu.vae import VAE
+
+
+def create_parser():
+    from vihds_tpu.run_xval import create_parser as base_parser
+
+    parser = base_parser(False)
+    parser.add_argument(
+        "--checkpoint",
+        type=str,
+        required=True,
+        help="Checkpoints directory of a trained run (run_xval --checkpoint_epoch N)",
+    )
+    parser.add_argument(
+        "--data",
+        type=str,
+        action="append",
+        required=True,
+        help="CSV of new plate-reader time series (repeatable; same schema as the spec's files)",
+    )
+    parser.add_argument(
+        "--output",
+        type=str,
+        default="predictions.npz",
+        help="Output .npz path (default: ./predictions.npz)",
+    )
+    parser.add_argument(
+        "--save_theta",
+        action="store_true",
+        default=False,
+        help="Also store the per-sample theta draws [n_theta, B, K] (large)",
+    )
+    parser.add_argument(
+        "--figures",
+        action="store_true",
+        default=False,
+        help="Render a prediction-summary figure next to the output npz",
+    )
+    return parser
+
+
+def load_new_data(csv_files, settings, train_dataset):
+    """Parse new CSVs and express them in the TRAINED model's coordinates.
+
+    Three train-time conventions must be re-applied (not recomputed): the
+    time grid (the encoder trunk is shape-bound to the training n_times),
+    the per-signal normalisation scales (recomputing a max on new data
+    would silently change units), and the device/treatment vocabulary
+    (cassette one-hots must index the same component groups).  Returns a
+    host batch AttrDict ready for Training.evaluate.
+    """
+    train_times = np.asarray(train_dataset.times)
+    dt = float(np.median(np.diff(train_times)))
+    parts = []
+    for f in csv_files:
+        parsed = procdata.load(f, settings.data)
+        if parsed is None:
+            raise SystemExit(
+                "No rows in %s match the spec's devices %s"
+                % (f, list(settings.data.devices))
+            )
+        devices, inputs, times, obs = parsed
+        # nearest-time snap onto the training grid (the same rule the
+        # multi-file merge uses)
+        idx = np.array([find_nearest(times, t) for t in train_times])
+        worst = float(np.max(np.abs(np.asarray(times)[idx] - train_times)))
+        if worst > 1.5 * dt:
+            print(
+                "WARNING: %s deviates up to %.2f time units from the training grid "
+                "(grid step %.2f) — predictions interpolate by nearest time" % (f, worst, dt)
+            )
+        parts.append((devices, inputs, obs[:, :, idx]))
+
+    devices = np.concatenate([p[0] for p in parts])
+    inputs = np.concatenate([p[1] for p in parts])
+    observations = np.concatenate([p[2] for p in parts])
+
+    ds_settings = copy.copy(settings.data)
+    ds_settings.normalize = [float(s) for s in train_dataset.scales]
+    ds = TimeSeriesDataset(ds_settings, settings.params)
+    ds._preprocess(devices, inputs, train_times, observations)
+    host = ds.select(np.arange(len(ds)))
+    return host
+
+
+def predict(args, settings=None):
+    """Restore ``args.checkpoint`` and predict on ``args.data`` CSVs.
+
+    Returns AttrDict(merged=<eval arrays>, results=<Results>, host=<input
+    batch>, epoch=<checkpoint epoch>).
+    """
+    import jax
+
+    from vihds_tpu import checkpoint as ckpt
+    from vihds_tpu.run_xval import make_mesh_from_args
+
+    if settings is None:
+        settings = Config(args)
+    settings.trainer = None
+    if not getattr(args, "heldout", None):
+        args.heldout = None
+    if not hasattr(args, "split"):
+        args.split = 1
+
+    data = build_datasets(args, settings)
+    full_dataset = data.train.dataset
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    mesh = make_mesh_from_args(args)
+    training = Training(args, settings, data, program, model, mesh=mesh)
+
+    key = jax.random.PRNGKey(settings.seed or 0)
+    key, k_init, k_eval = jax.random.split(key, 3)
+    params0 = model.init_params(k_init)
+    template = {
+        "params": params0,
+        "opt_state": training.tx.init(params0),
+        "key": np.asarray(jax.random.PRNGKey(0)),
+        "extra": {"epoch": 0},
+    }
+    epoch, state = ckpt.restore(args.checkpoint, template=template)
+    if state is None:
+        raise SystemExit("No checkpoint found under %s" % args.checkpoint)
+    params = state["params"]
+
+    host = load_new_data(args.data, settings, full_dataset)
+    if training.multi:
+        # models trained on merge:false data encode from enc_observations;
+        # new data already lives on the encoder (shortest) grid
+        host["enc_observations"] = host.observations
+    merged, results = training.evaluate(
+        params, host, args.test_samples, k_eval,
+        with_theta=getattr(args, "save_theta", False),
+    )
+    return AttrDict(
+        merged=merged,
+        results=results,
+        host=host,
+        epoch=epoch,
+        scales=[float(s) for s in full_dataset.scales],
+    )
+
+
+def save_predictions(path, out, args, settings):
+    merged, host = out.merged, out.host
+    payload = dict(
+        iw_predict_mu=merged.iw_predict_mu,
+        iw_predict_std=merged.iw_predict_std,
+        iw_states=merged.iw_states,
+        iw_variance=merged.iw_variance,
+        per_item_elbo=merged.per_item_elbo,  # per-series IWAE log-evidence
+        elbo=merged.elbo,
+        q_mu=merged.q_mu,
+        q_prec=merged.q_prec,
+        q_names=np.array(out.results.q_names, dtype=object),
+        species_names=np.array(out.results.species_names, dtype=object),
+        devices=host.devices,
+        device_names=np.array(list(settings.data.devices), dtype=object),
+        inputs=host.inputs,
+        observations=host.observations,
+        times=host.times,
+        scales=np.asarray(out.scales, dtype=np.float64),
+        checkpoint_epoch=out.epoch,
+    )
+    if getattr(args, "save_theta", False) and "theta" in merged:
+        payload["theta"] = merged.theta
+    np.savez(path, **payload)
+    print("Wrote %s (%d series, K=%d, checkpoint epoch %d, log-evidence %.2f)"
+          % (path, host.observations.shape[0], args.test_samples, out.epoch, merged.elbo))
+
+
+def make_figure(path_base, out, settings):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from vihds_tpu import plotting
+
+    merged, host = out.merged, out.host
+    fig = plotting.plot_prediction_summary(
+        list(settings.data.devices),
+        out.results.species_names,
+        host.times,
+        host.observations,
+        merged.iw_predict_mu,
+        merged.iw_predict_std,
+        host.devices,
+        "-",
+    )
+    fig.savefig(path_base + ".png", bbox_inches="tight")
+    fig.savefig(path_base + ".pdf", bbox_inches="tight")
+    print("Wrote %s.png/.pdf" % path_base)
+
+
+def main(argv=None):
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    args = create_parser().parse_args(argv)
+    settings = Config(args)
+    out = predict(args, settings)
+    save_predictions(args.output, out, args, settings)
+    if args.figures:
+        make_figure(os.path.splitext(args.output)[0], out, settings)
+
+
+if __name__ == "__main__":
+    main()

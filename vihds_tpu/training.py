@@ -532,6 +532,19 @@ class Training:
         )
         return res
 
+    def evaluate(self, params, host_data, n_samples, key, with_theta=True):
+        """Public (serving-facing) evaluation of an arbitrary host batch.
+
+        ``host_data``: AttrDict of numpy arrays — observations[B,S,T]
+        (training-scaled), inputs[B,C] (log1p), dev_1hot[B,D], times[T]
+        (plus enc_observations for models trained on merge:false data).
+        Runs the amortised q, K=``n_samples`` theta draws, the ODE decoder,
+        and the IWAE weighting in one chunked jitted dispatch; returns
+        (merged arrays, Results).  This is the API ``vihds_tpu.predict``
+        serves unseen data through."""
+        merged = self._eval_full(params, host_data, n_samples, key, with_theta=with_theta)
+        return merged, self._make_results(merged)
+
     def _update_summaries(self, writer, epoch, merged):
         """TensorBoard scalars (parity: vihds/training.py:176-210 plus the
         per-distribution q summaries of ChainedDistribution.attach_summaries,
