@@ -161,3 +161,67 @@ def test_predict_cli_end_to_end(tmp_path):
     assert int(z["checkpoint_epoch"]) == 4
     assert os.path.exists(str(tmp_path / "pred.png"))
     assert os.path.exists(str(tmp_path / "pred.pdf"))
+
+
+def test_decode_is_forwards_tail():
+    """VAE.decode on forward's clipped theta must reproduce forward's
+    decoder outputs exactly (the counterfactual path is forward's tail)."""
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    from vihds_tpu.training import batch_arrays
+
+    batch = batch_arrays(data.train.dataset.select(np.arange(6)))
+    u = model.sample_u(jax.random.PRNGKey(1), 6, 5)
+    fwd = model.forward(params, batch, u)
+    dec = model.decode(params, fwd.theta_clipped, batch)
+    np.testing.assert_array_equal(np.asarray(fwd.x_predict), np.asarray(dec.x_predict))
+    np.testing.assert_array_equal(np.asarray(fwd.x_states), np.asarray(dec.x_states))
+
+
+def test_counterfactual_matches_factual_at_observed_treatments(tmp_path):
+    """Overriding treatments with a row's OWN observed values must reproduce
+    that row's factual predictive moments; a different override must not."""
+    *_, ckpt_dir = _checkpointed_model(tmp_path)
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 6
+    settings = Config(pargs)
+    base = P.predict(pargs, settings)
+
+    conditions = list(settings.data.conditions)
+    raw = np.expm1(base.host.inputs)  # undo log1p
+    row = 0
+    spec_str = ";".join("%s=%.10g" % (c, raw[row, i]) for i, c in enumerate(conditions))
+
+    pargs2 = make_args(spec("dr_constant_one.yaml"))
+    pargs2.checkpoint = ckpt_dir
+    pargs2.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs2.test_samples = 6
+    pargs2.treatments = [spec_str, "C6=0;C12=0"]
+    out = P.predict(pargs2, Config(pargs2))
+    cf_same, cf_zero = out.counterfactuals
+
+    np.testing.assert_allclose(
+        cf_same.iw_predict_mu[row], out.merged.iw_predict_mu[row], rtol=2e-4, atol=1e-5
+    )
+    assert np.isfinite(cf_zero.iw_predict_mu).all()
+    # zeroed treatments must actually change rows that had nonzero treatment
+    hot = np.flatnonzero(raw.sum(1) > 1.0)
+    assert np.abs(cf_zero.iw_predict_mu[hot] - out.merged.iw_predict_mu[hot]).max() > 1e-3
+
+
+def test_counterfactual_unknown_condition_is_clean(tmp_path):
+    *_, ckpt_dir = _checkpointed_model(tmp_path)
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    pargs.treatments = ["IPTG=5"]
+    with pytest.raises(SystemExit, match="not in the spec's conditions"):
+        P.predict(pargs)

@@ -75,6 +75,16 @@ def create_parser():
         default=False,
         help="Render a prediction-summary figure next to the output npz",
     )
+    parser.add_argument(
+        "--treatments",
+        type=str,
+        action="append",
+        default=None,
+        help="Counterfactual treatment override, same syntax as the CSV "
+        "condition strings (e.g. \"C6=25000;C12=0\"; repeatable).  Posterior "
+        "theta inferred from the observed data is re-simulated under these "
+        "inputs; outputs land in the npz as cf<i>_* arrays",
+    )
     return parser
 
 
@@ -92,6 +102,11 @@ def load_new_data(csv_files, settings, train_dataset):
     dt = float(np.median(np.diff(train_times)))
     parts = []
     for f in csv_files:
+        # procdata.load resolves bare names under the spec's data_dir (the
+        # contract for spec-listed files); serving accepts real filesystem
+        # paths too, so pass existing paths through absolute.
+        if os.path.exists(f):
+            f = os.path.abspath(f)
         parsed = procdata.load(f, settings.data)
         if parsed is None:
             raise SystemExit(
@@ -167,17 +182,71 @@ def predict(args, settings=None):
         # models trained on merge:false data encode from enc_observations;
         # new data already lives on the encoder (shortest) grid
         host["enc_observations"] = host.observations
+    treatments = getattr(args, "treatments", None) or []
     merged, results = training.evaluate(
         params, host, args.test_samples, k_eval,
-        with_theta=getattr(args, "save_theta", False),
+        with_theta=getattr(args, "save_theta", False) or bool(treatments),
     )
+    counterfactuals = [
+        counterfactual(training, params, host, merged, spec_str)
+        for spec_str in treatments
+    ]
     return AttrDict(
         merged=merged,
         results=results,
         host=host,
         epoch=epoch,
         scales=[float(s) for s in full_dataset.scales],
+        counterfactuals=counterfactuals,
     )
+
+
+def counterfactual(training, params, host, merged, treatment_spec):
+    """Re-simulate the inferred posterior theta under overridden treatments.
+
+    ``treatment_spec`` uses the CSV condition syntax ("C6=25000;C12=0");
+    named conditions replace that input column for EVERY served series
+    (stored, like the dataset, as log1p).  The importance weights from the
+    observed data stay valid — theta's posterior does not depend on the
+    counterfactual input — so the returned moments are IW-weighted exactly
+    like the factual ones.  One jitted dispatch, no chunking (serving
+    batches are small; a 48x1000x8x86 trajectory is ~130 MB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vihds_tpu.training import _importance_weighted_outputs
+
+    overrides = procdata.process_condition(treatment_spec)
+    if not overrides:
+        raise SystemExit("Unparseable --treatments %r (want e.g. C6=100;C12=0)" % treatment_spec)
+    conditions = list(training.settings.data.conditions)
+    unknown = [k for k in overrides if k not in conditions]
+    if unknown:
+        raise SystemExit(
+            "--treatments names %s not in the spec's conditions %s" % (unknown, conditions)
+        )
+    inputs = np.array(host.inputs, np.float32, copy=True)
+    for k, v in overrides.items():
+        inputs[:, conditions.index(k)] = np.log1p(v)
+
+    model = training.model
+
+    @jax.jit
+    def fn(params, batch, theta_bkn, log_w):
+        out = model.decode(params, theta_bkn, batch, eval_mode=True)
+        return _importance_weighted_outputs(AttrDict(log_w=log_w), out)
+
+    batch = AttrDict(
+        observations=jnp.asarray(host.observations),
+        inputs=jnp.asarray(inputs),
+        dev_1hot=jnp.asarray(host.dev_1hot),
+        times=jnp.asarray(host.times),
+    )
+    theta_bkn = jnp.asarray(np.transpose(merged.theta, (1, 2, 0)))
+    iw = jax.tree_util.tree_map(
+        np.asarray, dict(fn(params, batch, theta_bkn, jnp.asarray(merged.log_w)))
+    )
+    return AttrDict(spec=treatment_spec, inputs=inputs, **iw)
 
 
 def save_predictions(path, out, args, settings):
@@ -203,6 +272,11 @@ def save_predictions(path, out, args, settings):
     )
     if getattr(args, "save_theta", False) and "theta" in merged:
         payload["theta"] = merged.theta
+    for i, cf in enumerate(out.get("counterfactuals") or []):
+        payload["cf%d_spec" % i] = np.array(cf.spec)
+        payload["cf%d_inputs" % i] = cf.inputs
+        for name in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance"):
+            payload["cf%d_%s" % (i, name)] = cf[name]
     np.savez(path, **payload)
     print("Wrote %s (%d series, K=%d, checkpoint epoch %d, log-evidence %.2f)"
           % (path, host.observations.shape[0], args.test_samples, out.epoch, merged.elbo))

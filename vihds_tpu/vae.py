@@ -72,7 +72,21 @@ class VAE:
         # the two formulations are identical whenever clipping is inactive
         # (any sample within +-4 prior sigmas) and the exploit is gone.
         clipped = self.program.clip(theta, stddevs=4)
-        th = self.program.theta_dict(clipped)
+        decoded = self.decode(params, clipped, batch, checkpoint=checkpoint, eval_mode=eval_mode)
+        decoded["theta"] = theta  # sampled (unclipped): what log q / log p score
+        decoded["q"] = q
+        return decoded
+
+    def decode(self, params, theta_clipped, batch, checkpoint=False, eval_mode=False):
+        """Decoder-only pass for GIVEN clipped theta draws [B,K,n_theta]:
+        condition -> simulate -> expand precisions -> observe.
+
+        Besides being forward's tail, this is the counterfactual serving
+        path (vihds_tpu.predict --treatments): posterior theta inferred from
+        observed data is re-simulated under modified inputs, with the
+        original importance weights still valid (theta's posterior does not
+        depend on the counterfactual treatment)."""
+        th = self.program.theta_dict(theta_clipped)
         if self.condition_on_device:
             th = self.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
         x_solution = self.ode_model.simulate(
@@ -81,7 +95,7 @@ class VAE:
             batch.times,
             batch.inputs,
             batch.dev_1hot,
-            n_iwae=u.shape[1],
+            n_iwae=theta_clipped.shape[1],
             checkpoint=checkpoint,
             eval_mode=eval_mode,
         )
@@ -93,10 +107,8 @@ class VAE:
             x_states=x_states,
             x_predict=x_predict,
             precisions=precisions,
-            theta=theta,  # sampled (unclipped): what log q / log p score
-            theta_clipped=clipped,  # what the decoder integrated
+            theta_clipped=theta_clipped,  # what the decoder integrated
             theta_cond=th,
-            q=q,
         )
 
 
