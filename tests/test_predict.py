@@ -225,3 +225,23 @@ def test_counterfactual_unknown_condition_is_clean(tmp_path):
     pargs.treatments = ["IPTG=5"]
     with pytest.raises(SystemExit, match="not in the spec's conditions"):
         P.predict(pargs)
+
+
+def test_predict_on_unmerged_trained_model(tmp_path):
+    """Serving a model trained on merge:false data: new CSVs land on the
+    encoder (shortest) grid with enc_observations, and the whole pipeline
+    stays finite with the right shapes."""
+    args, settings, data, program, model, training, params, ckpt_dir = _checkpointed_model(
+        tmp_path, "dr_constant_icml_unmerged.yaml"
+    )
+    pargs = make_args(spec("dr_constant_icml_unmerged.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    out = P.predict(pargs)
+    assert "enc_observations" in out.host
+    B, S, T = out.host.observations.shape
+    assert T == training.train_data.observations.shape[-1]  # encoder grid
+    assert out.merged.iw_predict_mu.shape == (B, 4, T)
+    assert np.isfinite(out.merged.iw_predict_mu).all()
+    assert np.isfinite(out.merged.per_item_elbo).all()
