@@ -63,13 +63,17 @@ def test_enable_compile_cache(monkeypatch, tmp_path):
         monkeypatch.setenv("VIHDS_COMPILE_CACHE", "off")
         assert profiling.enable_compile_cache() is None
 
+        # CPU backend (the test environment): no-op without force — reading
+        # persisted XLA:CPU AOT executables can segfault on this image.
         monkeypatch.setenv("VIHDS_COMPILE_CACHE", str(tmp_path / "via_env"))
-        path = profiling.enable_compile_cache()
+        assert profiling.enable_compile_cache() is None
+
+        path = profiling.enable_compile_cache(force=True)
         assert path == str(tmp_path / "via_env") and os.path.isdir(path)
         assert jax.config.jax_compilation_cache_dir == path
 
         explicit = str(tmp_path / "explicit")
-        assert profiling.enable_compile_cache(explicit) == explicit
+        assert profiling.enable_compile_cache(explicit, force=True) == explicit
 
         # Functional: a fresh compile is persisted (threshold lowered so the
         # tiny CPU program qualifies).

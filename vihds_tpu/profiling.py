@@ -14,7 +14,7 @@ import time
 import jax
 
 
-def enable_compile_cache(cache_dir=None):
+def enable_compile_cache(cache_dir=None, force=False):
     """Turn on JAX's persistent (on-disk) compilation cache for this process.
 
     The dominant fixed cost of every CLI run on TPU is the XLA compile of the
@@ -24,12 +24,20 @@ def enable_compile_cache(cache_dir=None):
     nodes executed in worker processes all hit the on-disk cache and start
     in seconds.  Verified to work on the axon TPU platform.
 
+    TPU-backend only: deserializing persisted XLA:CPU AOT executables can
+    SEGFAULT on this image (XLA records compile-machine features like
+    +prefer-no-gather that the loader rejects — observed as a crash inside
+    ``compilation_cache.get_executable_and_time`` during the test suite), so
+    on CPU this is a no-op unless ``force=True`` (tests only).
+
     Resolution order: explicit ``cache_dir`` arg > ``VIHDS_COMPILE_CACHE``
     env var > ``~/.cache/vihds_tpu/xla``.  Set the env var to ``off``/``0``
     to disable.  Safe to call more than once.
     """
     env = os.environ.get("VIHDS_COMPILE_CACHE", "")
     if env.lower() in ("off", "0", "none", "disable"):
+        return None
+    if not force and jax.default_backend() != "tpu":
         return None
     path = cache_dir or env or os.path.join(
         os.path.expanduser("~"), ".cache", "vihds_tpu", "xla"
