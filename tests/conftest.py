@@ -46,3 +46,30 @@ def make_args(yaml_path, **kw):
 def spec(name):
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return os.path.join(here, "specs", name)
+
+
+@pytest.fixture(autouse=True)
+def _bound_mapped_regions():
+    """Keep the test process under vm.max_map_count (default 65530).
+
+    Every distinct heavy XLA:CPU compile maps ~2-3k regions of JIT code
+    (measured: one training-step compile = +2778 entries in
+    /proc/self/maps), and a full-suite process accumulates enough that
+    LLVM's allocateMappedMemory starts failing with ENOMEM and aborts the
+    interpreter ("LLVM compilation error: Cannot allocate memory",
+    observed as a suite-wide segfault at ~51%).  RAM is irrelevant — it is
+    the per-process map-count limit.  jax.clear_caches() releases the
+    mapped executables (3572 -> 1136 measured), so drop the caches
+    whenever the count nears the limit; subsequent tests recompile
+    transparently."""
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 30000:
+        jax.clear_caches()
+        from vihds_tpu import training as _training
+
+        _training._STEP_CACHE.clear()
