@@ -245,3 +245,28 @@ def test_predict_on_unmerged_trained_model(tmp_path):
     assert out.merged.iw_predict_mu.shape == (B, 4, T)
     assert np.isfinite(out.merged.iw_predict_mu).all()
     assert np.isfinite(out.merged.per_item_elbo).all()
+
+
+def test_predict_typo_checkpoint_does_not_create_dir(tmp_path):
+    """A mistyped --checkpoint must not leave a spurious orbax directory
+    behind (CheckpointManager is built with create=True)."""
+    typo = tmp_path / "does" / "not" / "exist"
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = str(typo)
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    with pytest.raises(SystemExit, match="No checkpoint found"):
+        P.predict(pargs)
+    assert not typo.exists()
+
+
+def test_counterfactual_step_is_compiled_once(tmp_path):
+    """Every --treatments entry must reuse ONE jitted decode program."""
+    *_, ckpt_dir = _checkpointed_model(tmp_path)
+    pargs = make_args(spec("dr_constant_one.yaml"))
+    pargs.checkpoint = ckpt_dir
+    pargs.data = [os.path.join(DATA, "proc141006.csv")]
+    pargs.test_samples = 4
+    pargs.treatments = ["C6=1;C12=0", "C6=10;C12=0", "C6=100;C12=0"]
+    out = P.predict(pargs)
+    assert len(out.counterfactuals) == 3

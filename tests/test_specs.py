@@ -63,3 +63,10 @@ def test_missing_section_is_a_clean_error(tmp_path):
     bad.write_text("model: dr_constant\nparams: {}\n")
     with pytest.raises(SystemExit, match=r"missing its 'data:' section"):
         Config(make_args(str(bad)))
+
+
+def test_empty_params_section_is_a_clean_error(tmp_path):
+    bad = tmp_path / "bad3.yaml"
+    bad.write_text("model: dr_constant\ndata:\n  files: [x.csv]\nparams:\n")
+    with pytest.raises(SystemExit, match=r"missing its 'params:' section"):
+        Config(make_args(str(bad)))

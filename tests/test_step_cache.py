@@ -78,3 +78,53 @@ def test_prior_change_invalidates_cache():
     model2 = VAE(settings, data, program2)
     T.Training(args, settings, data, program2, model2)
     assert len(T._STEP_CACHE) == 2
+
+
+def test_distribution_kind_changes_the_key(tmp_path):
+    """Review-found collision: two specs differing ONLY in a site's
+    distribution family (LogNormal vs Normal, same moments) must NOT share
+    compiled steps — the traced sampling/log-prob math differs."""
+    import yaml
+
+    src = spec("dr_constant_one.yaml")
+    with open(src) as f:
+        doc = yaml.safe_load(f)
+    assert doc["params"]["global_conditioned"]["aR"]["distribution"] == "LogNormal"
+    doc["params"]["global_conditioned"]["aR"]["distribution"] = "Normal"
+    alt = tmp_path / "alt.yaml"
+    alt.write_text(yaml.safe_dump(doc))
+
+    T._STEP_CACHE.clear()
+    _training_from_spec(src)
+    _training_from_spec(str(alt))
+    assert len(T._STEP_CACHE) == 2, "LogNormal->Normal change must be a cache miss"
+
+
+def _training_from_spec(yaml_path):
+    args = make_args(yaml_path)
+    args.epochs = 2
+    args.test_epoch = 2
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    return T.Training(args, settings, data, program, model)
+
+
+def test_step_cache_is_bounded_lru():
+    T._STEP_CACHE.clear()
+    for k in range(T._STEP_CACHE_MAX + 3):
+        T._STEP_CACHE["key%d" % k] = ("t%d" % k, "e%d" % k)
+        while len(T._STEP_CACHE) > T._STEP_CACHE_MAX:
+            T._STEP_CACHE.popitem(last=False)
+    assert len(T._STEP_CACHE) == T._STEP_CACHE_MAX
+    assert "key0" not in T._STEP_CACHE
+
+    # the eviction wired into _build_steps: a cache MISS insert must trim
+    # synthetic overflow back to the bound (hits never grow the dict)
+    T._STEP_CACHE.clear()
+    for k in range(T._STEP_CACHE_MAX + 2):
+        T._STEP_CACHE["syn%d" % k] = (None, None)
+    _training_from_spec(spec("dr_constant_one.yaml"))
+    assert len(T._STEP_CACHE) <= T._STEP_CACHE_MAX

@@ -140,9 +140,12 @@ class Config:
         with open(args.yaml, "r") as stream:
             config = attrdictify(yaml.safe_load(stream))
         for section in ("data", "params"):
-            if section not in config:
+            if not isinstance(config.get(section), dict):
+                # covers both a missing section and a bare 'params:' line
+                # (YAML parses the empty value as None)
                 raise SystemExit(
-                    "Spec %s is missing its '%s:' section" % (args.yaml, section)
+                    "Spec %s is missing its '%s:' section (or it is empty)"
+                    % (args.yaml, section)
                 )
         if "model" not in config:
             # The reference's debug.yaml family nests model: under params:

@@ -163,6 +163,11 @@ def predict(args, settings=None):
     mesh = make_mesh_from_args(args)
     training = Training(args, settings, data, program, model, mesh=mesh)
 
+    if not os.path.isdir(args.checkpoint):
+        # check BEFORE constructing the orbax manager: CheckpointManager is
+        # built with create=True and would mkdir a mistyped path
+        raise SystemExit("No checkpoint found under %s (not a directory)" % args.checkpoint)
+
     key = jax.random.PRNGKey(settings.seed or 0)
     key, k_init, k_eval = jax.random.split(key, 3)
     params0 = model.init_params(k_init)
@@ -231,10 +236,18 @@ def counterfactual(training, params, host, merged, treatment_spec):
 
     model = training.model
 
-    @jax.jit
-    def fn(params, batch, theta_bkn, log_w):
-        out = model.decode(params, theta_bkn, batch, eval_mode=True)
-        return _importance_weighted_outputs(AttrDict(log_w=log_w), out)
+    # One jitted decode-and-weight program shared across every --treatments
+    # entry (a fresh @jax.jit per call would recompile the identical
+    # program once per treatment).
+    fn = getattr(training, "_counterfactual_step", None)
+    if fn is None:
+
+        @jax.jit
+        def fn(params, batch, theta_bkn, log_w):
+            out = model.decode(params, theta_bkn, batch, eval_mode=True)
+            return _importance_weighted_outputs(AttrDict(log_w=log_w), out)
+
+        training._counterfactual_step = fn
 
     batch = AttrDict(
         observations=jnp.asarray(host.observations),

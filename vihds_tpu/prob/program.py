@@ -111,6 +111,46 @@ class ParamProgram:
         self._clip_cache = {}
 
     # ------------------------------------------------------------------ helpers
+    def fingerprint(self):
+        """SHA1 of every structural constant the traced sample/log_prob/clip
+        functions bake in: site names, distribution KINDS (LogNormal vs
+        Normal change the traced math with identical moments), prior
+        moments, constants, truncation bounds, Kumaraswamy support, and the
+        dependency wiring.  Two programs with equal fingerprints compile to
+        identical XLA — the contract training's compiled-step cache relies
+        on."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(",".join(self.names).encode())
+        for arr in (
+            self.is_lognormal,
+            self.is_constant,
+            self.is_truncated,
+            self.is_kumaraswamy,
+            self.prior_mu,
+            self.prior_prec,
+            self.const_value,
+            self.trunc_a,
+            self.trunc_b,
+            self.zmin,
+            self.zmax,
+        ):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(repr(self.dep_sites).encode())
+        h.update(repr(self.topo_order).encode())
+        h.update(
+            repr(
+                (
+                    self.local_slice,
+                    self.global_cond_slice,
+                    self.global_slice,
+                    self.constant_slice,
+                )
+            ).encode()
+        )
+        return h.hexdigest()
+
     def prior_q(self):
         """The prior p as q-style arrays (row-broadcastable)."""
         return AttrDict(

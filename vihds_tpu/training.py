@@ -20,6 +20,7 @@ Capability parity with reference vihds/training.py, re-architected TPU-first:
 import math
 import os
 import time
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -165,11 +166,46 @@ def batch_arrays(subset_batch):
 # folds) build functionally identical programs — same spec, same shapes,
 # same priors — so the jitted train/eval steps compile ONCE per
 # configuration and are reused across Training instances.  The key captures
-# everything the traced computation bakes in as constants: the compiled
-# probabilistic program (site names + prior moments + constants), model
-# name, solver config, objective flags, schedule, shapes, and mesh layout.
-# Saves one full XLA compile (minutes on TPU) per fold after the first.
-_STEP_CACHE = {}
+# everything the traced computation bakes in as constants (see
+# _steps_cache_key).  Saves one full XLA compile (minutes on TPU) per fold
+# after the first.  Bounded LRU: each pinned entry holds XLA executables
+# whose JIT code maps thousands of /proc/self/maps regions; an unbounded
+# dict in a long inference-graph run (every propagated-prior node is a new
+# key) would walk the process into vm.max_map_count ENOMEM aborts.
+_STEP_CACHE = OrderedDict()
+_STEP_CACHE_MAX = 8
+
+
+def _stable_hash(obj):
+    """Deterministic digest of nested dict/list/scalar/ndarray config
+    structures (repr truncates large numpy arrays; this walks them)."""
+    import hashlib
+
+    h = hashlib.sha1()
+
+    def walk(o):
+        if isinstance(o, dict):
+            h.update(b"{")
+            for k in o:
+                h.update(str(k).encode())
+                h.update(b":")
+                walk(o[k])
+            h.update(b"}")
+        elif isinstance(o, (list, tuple)):
+            h.update(b"[")
+            for v in o:
+                walk(v)
+            h.update(b"]")
+        elif isinstance(o, np.ndarray):
+            h.update(str(o.dtype).encode())
+            h.update(str(o.shape).encode())
+            h.update(np.ascontiguousarray(o).tobytes())
+        else:
+            h.update(repr(o).encode())
+        h.update(b";")
+
+    walk(obj)
+    return h.hexdigest()
 
 
 class Training:
@@ -251,18 +287,23 @@ class Training:
 
     # ------------------------------------------------------------------ steps
     def _steps_cache_key(self):
-        """Fingerprint of everything the jitted steps bake in as constants."""
-        import hashlib
+        """Fingerprint of everything the jitted steps bake in as constants.
 
-        # Fingerprint from the program's HOST-side numpy constants only:
-        # touching device arrays here (e.g. prior_q()) costs a device
-        # round-trip per array — ~20 s each through the TPU tunnel.
-        prog = self.program
-        h = hashlib.sha1()
-        h.update(prog.prior_mu.tobytes())
-        h.update(prog.prior_prec.tobytes())
-        h.update(prog.const_value.tobytes())
-        h.update(",".join(s.name for s in prog.sites.ordered).encode())
+        Computed from HOST-side values only — touching device arrays here
+        (e.g. prior_q()) costs a device round-trip per array, ~20 s each
+        through the TPU tunnel.  Three layers:
+
+        * ``program.fingerprint()`` — the full compiled probabilistic
+          program: site names, distribution KINDS (LogNormal vs Normal
+          differ in traced math at identical moments), prior moments,
+          constants, truncation bounds, Kumaraswamy support, dependency
+          wiring;
+        * a canonical hash of the resolved ``settings.params`` section —
+          every hyperparameter the model/encoder/optimizer closures read
+          (architecture sizes, solver, schedule, precisions config, ...);
+        * the device-conditioning structure (depth + relevance vectors are
+          baked into the decoder trace) and batch/mesh shapes.
+        """
         p = self.settings.params
         host = self.train_data
         if self.mesh is None:
@@ -272,25 +313,25 @@ class Training:
                 tuple(self.mesh.shape.items()),
                 tuple(d.id for d in self.mesh.devices.flat),
             )
+        d = self.settings.data
         return (
             self.settings.model,
-            p.solver,
-            p.get("eval_solver"),
-            bool(p.adjoint_solver),
+            self.program.fingerprint(),
+            _stable_hash(p),
             self.model.use_laplace,
+            self.model.condition_on_device,
+            int(d.device_depth),
+            _stable_hash(getattr(d, "relevance_vectors", None)),
             bool(getattr(self.args, "dreg", False)),
             self.args.train_samples,
             self.n_batch,
             self.steps_per_epoch,
-            float(p.learning_rate),
-            tuple(int(b) for b in p.learning_boundaries),
-            float(p.learning_gamma),
-            p.get("grad_clip_norm"),
             self.multi,
             None if self.multi else host.observations.shape[1:],
             None if self.multi else len(host.times),
+            None if self.multi else host.inputs.shape[1:],
+            None if self.multi else host.dev_1hot.shape[1:],
             mesh_key,
-            h.hexdigest(),
         )
 
     def _build_steps(self):
@@ -301,10 +342,13 @@ class Training:
             # its jitted steps close over a functionally identical model /
             # program / optimiser (all hyperparameters are in the key; fold
             # data enters as arguments), so reuse them verbatim.
+            _STEP_CACHE.move_to_end(key)
             self._train_epoch, self._eval_split = cached
             return
         self._build_steps_uncached()
         _STEP_CACHE[key] = (self._train_epoch, self._eval_split)
+        while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+            _STEP_CACHE.popitem(last=False)
 
     def _build_steps_uncached(self):
         model, program = self.model, self.program
