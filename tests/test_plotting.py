@@ -99,9 +99,6 @@ def test_weighted_theta(synth):
         iws,
         theta,
         synth.devices,
-        iws,
-        theta,
-        synth.devices,
         columns=["a", "b"],
     )
     assert f is not None

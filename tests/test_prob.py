@@ -163,3 +163,39 @@ def test_locals_cannot_inherit_from_global():
     }
     with pytest.raises(ValueError):
         parse_parameters(params)
+
+
+def test_dependent_truncated_and_kumaraswamy_sites():
+    """Sites whose parameter slots depend on OTHER sampled sites must still be
+    drawn with their own bijection (truncation / Kumaraswamy inverse-CDF), so
+    samples stay in-support and agree with the density log_prob scores."""
+    sites = {
+        "global": [
+            Site("m", tier="global", kind="Normal", init_mu=0.5, init_prec=1e8),
+            Site("ak", tier="global", kind="Normal", init_mu=2.0, init_prec=1e8),
+            Site(
+                "t", tier="global", kind="TruncatedNormal",
+                init_mu=0.0, init_prec=1.0, a=0.0, b=2.0, mu_dep="m",
+            ),
+            Site(
+                "k", tier="global", kind="Kumaraswamy",
+                init_mu=1.0, init_prec=3.0, mu_dep="ak",
+            ),
+        ]
+    }
+    prog = make_program(sites)
+    u = jax.random.normal(jax.random.PRNGKey(3), (1, 40000, 4))
+    theta = np.asarray(prog.sample(prog.prior_q(), u))
+    names = list(prog.names)
+    t = theta[0, :, names.index("t")]
+    k = theta[0, :, names.index("k")]
+    # truncated site with dep mu=0.5: in [0,2], matching scipy moments
+    assert (t >= 0.0).all() and (t <= 2.0).all()
+    ref = scipy.stats.truncnorm(-0.5, 1.5, loc=0.5, scale=1.0)
+    np.testing.assert_allclose(t.mean(), ref.mean(), atol=0.02)
+    np.testing.assert_allclose(t.std(), ref.std(), atol=0.02)
+    # kumaraswamy site with dep a=2.0, b=3.0: in (0,1), matching E[X]
+    from scipy.special import beta as B
+
+    assert (k > 0.0).all() and (k < 1.0).all()
+    np.testing.assert_allclose(k.mean(), 3.0 * B(1 + 1 / 2.0, 3.0), atol=0.02)

@@ -117,3 +117,82 @@ def test_truncnormal_kumaraswamy_train_end_to_end(tmp_path, monkeypatch):
     i = 4  # r,K,tlag,rc,tn_site
     tn = np.asarray(results.theta)[i]
     assert (tn >= 0.2 - 1e-4).all() and (tn <= 3.0 + 1e-4).all()
+
+
+def test_folds_partition_without_seed():
+    """With the CLI default --seed (None) every fold must still draw the SAME
+    permutation, so the k validation chunks partition the dataset."""
+    from vihds_tpu.data.datasets import build_datasets
+
+    val_ids = []
+    n = None
+    for split in (1, 2, 3, 4):
+        args = make_args(spec("dr_constant_icml.yaml"), folds=4, split=split)
+        args.seed = None  # the CLI default
+        settings = Config(args)
+        pair = build_datasets(args, settings)
+        val_ids.append(np.asarray(pair.test.indices))
+        n = len(pair.test.dataset)
+    merged = np.sort(np.concatenate(val_ids))
+    np.testing.assert_array_equal(merged, np.arange(n))
+
+
+def test_fold1_abort_merge_metadata_and_boxing(tmp_path):
+    """A fold-1 NaN abort (no add() for split 1) must not lose the merge
+    metadata, and equal-shape folds must merge as one object PER FOLD (not a
+    fully element-boxed object ndarray)."""
+    from vihds_tpu.config import Trainer
+    from vihds_tpu.data.datasets import build_datasets
+    from vihds_tpu.xval import XvalMerge
+    import os
+
+    args = make_args(spec("dr_constant_one.yaml"))
+    args.experiment = "fold1_abort"
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    os.environ["INFERENCE_RESULTS_DIR"] = str(tmp_path)
+    settings.trainer = Trainer(args, log_dir=str(tmp_path))
+    xm = XvalMerge(args, settings)
+    T = data.train.dataset.n_times
+
+    class FakeResults:
+        def __init__(self, n, T):
+            rng = np.random.RandomState(0)
+            self.q_names = ["r.mu", "r.prec"]
+            self.q_values = np.array([rng.rand(n), 1 + rng.rand(n)], dtype=object)
+            self.species_names = ["OD", "RFP", "YFP", "CFP"]
+            self.elbo = 1.0
+            self.elbo_list = [1.0, 2.0]  # equal length across folds
+            self.theta = rng.rand(2, n, 3)
+            self.iw_predict_mu = rng.rand(n, 4, T)
+            self.iw_predict_std = rng.rand(n, 4, T)
+            self.iw_states = rng.rand(n, 8, T)
+
+    class FakeSubset:
+        def __init__(self, ds, idx):
+            self.dataset = ds
+            self.indices = idx
+
+        def batch(self):
+            return self.dataset.select(self.indices)
+
+    class Pair:
+        pass
+
+    for split in (2, 3):  # fold 1 hit the NaN abort; add() never ran for it
+        pair = Pair()
+        pair.train = data.train
+        pair.test = FakeSubset(data.train.dataset, np.arange((split - 2) * 5, (split - 1) * 5))
+        pair.n_test = 5
+        xm.add(split, pair, FakeResults(5, T))
+    assert xm.species_names is not None and xm.times is not None
+    xm.finalize()
+    xm.save()
+    theta = np.load(os.path.join(settings.trainer.tb_log_dir, "xval_theta.npy"), allow_pickle=True)
+    assert theta.shape == (2,) and theta[0].shape == (2, 5, 3)
+    assert theta[0].dtype == np.float64  # payload stays a real float array
+    elbos = np.load(os.path.join(settings.trainer.tb_log_dir, "xval_elbo_list.npy"), allow_pickle=True)
+    assert elbos.shape == (2,) and list(elbos[0]) == [1.0, 2.0]
+    xm2 = XvalMerge(args, settings)
+    xm2.load(settings.trainer.tb_log_dir)
+    assert list(xm2.species_names) == ["OD", "RFP", "YFP", "CFP"]

@@ -271,7 +271,10 @@ def build_datasets(args, config):
         dataset = MultiTimeSeriesDataset(data_settings, config.params)
         dataset.init_multiple()
 
-    np.random.seed(args.seed)
+    # args.seed defaults to None on the CLI ("use 0"); seeding with None would
+    # draw a fresh OS-entropy permutation per fold, so the k folds would no
+    # longer partition the dataset.  Pin the concrete default here.
+    np.random.seed(args.seed if args.seed is not None else 0)
     if getattr(args, "heldout", None):
         # Hold out one named device as the validation set — a declared but
         # unimplemented capability of the reference (vihds/datasets.py:200-206).

@@ -125,9 +125,6 @@ def plot_weighted_theta(
     train_weights,
     train_theta,
     train_device_ids,
-    valid_weights,
-    valid_theta,
-    valid_device_ids,
     columns,
     sample=True,
     nsamples=100,
@@ -238,7 +235,9 @@ def xval_treatments(res, devices):
             ax.set_ylim(-0.1, 1.1)
             ax.set_xticks(np.logspace(0, 4, 3))
             ax.tick_params(axis="both", which="major", labelsize=FS)
-        grid.row_label(r, res.settings.devices[r], labelpad=25, fontweight="bold")
+        # index by the device id being plotted, not the row counter — callers
+        # may pass a subset or reordering of the device ids
+        grid.row_label(r, res.settings.devices[device], labelpad=25, fontweight="bold")
     for c, signal in enumerate(signals):
         grid.col_title(c, signal)
     grid.panel(0, len(signals) - 1).legend(

@@ -6,7 +6,7 @@ vihds/training.py:212-265).
 """
 
 
-def weighted_theta_plot(training, valid_writer, epoch, train_merged, valid_merged, sample=True):
+def weighted_theta_plot(training, valid_writer, epoch, train_merged, sample=True):
     """Importance-weighted theta pairplot at eval time.  The reference has
     this figure but its training hook references a nonexistent attribute and
     never runs (reference vihds/training.py:252-265); wired up for real here —
@@ -31,9 +31,6 @@ def weighted_theta_plot(training, valid_writer, epoch, train_merged, valid_merge
         normed(train_merged),
         train_merged.theta,
         training.train_data.devices,
-        normed(valid_merged),
-        valid_merged.theta,
-        training.valid_data.devices,
         columns=columns,
         sample=sample,
     )

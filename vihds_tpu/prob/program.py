@@ -216,8 +216,25 @@ class ParamProgram:
                 mu_i = theta[:, :, mj] if mj >= 0 else mu_b[:, :, i]
                 prec_i = theta[:, :, pj] if pj >= 0 else jnp.maximum(prec, EPS)[:, None, i]
                 sigma_i = 1.0 / jnp.sqrt(jnp.maximum(prec_i, EPS))
-                pre_i = mu_i + sigma_i * u[:, :, i]
-                val = jnp.exp(pre_i) if self.is_lognormal[i] else pre_i
+                u_i = u[:, :, i]
+                # Apply the SITE's own bijection — log_prob scores these kinds
+                # with their true densities, so the dep re-draw must sample
+                # them the same way (not as a plain Normal).
+                if self.is_kumaraswamy[i]:
+                    # (mu, prec) slots carry (a, b), possibly sampled upstream.
+                    v = jnp.clip(jnorm.cdf(u_i), 1e-6, 1.0 - 1e-6)
+                    val = self.zmin[i] + (self.zmax[i] - self.zmin[i]) * (
+                        1.0 - (1.0 - v) ** (1.0 / prec_i)
+                    ) ** (1.0 / mu_i)
+                elif self.is_truncated[i]:
+                    A = (self._trunc_a_safe[i] - mu_i) / sigma_i
+                    B = (self._trunc_b_safe[i] - mu_i) / sigma_i
+                    PhiA, PhiB = jnorm.cdf(A), jnorm.cdf(B)
+                    vv = jnp.clip(PhiA + jnorm.cdf(u_i) * (PhiB - PhiA), 1e-6, 1.0 - 1e-6)
+                    val = mu_i + sigma_i * ndtri(vv)
+                else:
+                    pre_i = mu_i + sigma_i * u_i
+                    val = jnp.exp(pre_i) if self.is_lognormal[i] else pre_i
                 theta = theta.at[:, :, i].set(val)
         return theta
 

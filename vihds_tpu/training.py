@@ -686,18 +686,17 @@ class Training:
         if self.multi:
             valid_merged = self._eval_multi(params, self.valid_groups, self.args.test_samples, k2)
         else:
-            # theta is the largest per-eval transfer (~19 MB at icml-val
-            # scale through the tunnel); keep it on device and fetch only
-            # when actually persisted (new best-val) or plotted.
             valid_merged = self._eval_full(
                 params, self.valid_data, self.args.test_samples, k2,
                 with_theta=False, defer_theta=True,
             )
         improved = valid_merged.elbo > log_data.max_val_elbo
         fetch_theta = valid_merged.pop("_theta_fetch", None)
-        if fetch_theta is not None and (
-            improved or (valid_writer is not None and plot and want_theta_plot)
-        ):
+        # theta is the largest per-eval transfer (~19 MB at icml-val scale
+        # through the tunnel); the weighted-theta figure plots the TRAIN
+        # frame only, so the valid theta is fetched only when a new best-val
+        # needs caching
+        if fetch_theta is not None and improved:
             valid_merged["theta"] = fetch_theta()
         self._update_summaries(valid_writer, epoch, valid_merged)
         valid_output = self._make_results(valid_merged)
@@ -707,7 +706,7 @@ class Training:
             )
             if want_theta_plot:
                 plotting_hooks.weighted_theta_plot(
-                    self, valid_writer, epoch, train_merged, valid_merged
+                    self, valid_writer, epoch, train_merged
                 )
         log_data.total_test_time += time.time() - test_start
         print(

@@ -11,6 +11,19 @@ import os
 import numpy as np
 
 
+def fold_object_array(items):
+    """A (n_folds,)-shaped object array with one fold payload per element.
+
+    ``np.asarray(list, dtype=object)`` is NOT this: when every fold has the
+    same shape it broadcasts into a fully-boxed object ndarray (one PyObject
+    per float — GBs at test_samples=1000), instead of one object per fold.
+    """
+    arr = np.empty(len(items), dtype=object)
+    for i, x in enumerate(items):
+        arr[i] = x
+    return arr
+
+
 class XvalMerge:
     def __init__(self, args, settings):
         self.epoch = args.epochs
@@ -37,7 +50,9 @@ class XvalMerge:
 
     def add(self, split_idx, data_pair, val_results):
         """(parity: vihds/xval.py:41-63)"""
-        if split_idx == 1:
+        if self.species_names is None:
+            # capture on the FIRST SUCCESSFUL fold, not fold 1 — a fold-1 NaN
+            # abort (add never called for it) must not leave these None
             self.q_names = val_results.q_names
             self.species_names = val_results.species_names
             self.times = data_pair.train.dataset.times
@@ -71,7 +86,7 @@ class XvalMerge:
         # folds that hit the NaN abort have shorter ELBO trajectories;
         # object dtype keeps the merge ragged-safe (the reference's
         # np.array(...) crashes on this case, vihds/xval.py:68)
-        self.elbo_list = np.array(self.elbo_list, dtype=object)
+        self.elbo_list = fold_object_array(self.elbo_list)
         self.q_values = [
             np.concatenate([np.array(q[i], ndmin=1) for q in self.q_values])
             for i, _ in enumerate(self.q_names)
@@ -91,7 +106,7 @@ class XvalMerge:
         print("Saving results to %s" % location)
 
         def save(base, data):
-            np.save(os.path.join(location, base + ".npy"), np.asarray(data, dtype=object)
+            np.save(os.path.join(location, base + ".npy"), fold_object_array(data)
                     if isinstance(data, list) else data)
 
         def savetxt(base, data):
@@ -106,7 +121,7 @@ class XvalMerge:
         save("xval_elbo_list", self.elbo_list)
         savetxt("xval_q_names", self.q_names)
         save("xval_q_values", self.q_values)
-        save("xval_theta", np.asarray(self.theta, dtype=object))
+        save("xval_theta", fold_object_array(self.theta))
         save("xval_iw_predict_mu", self.iw_predict_mu)
         save("xval_iw_predict_std", self.iw_predict_std)
         save("xval_iw_states", self.iw_states)
