@@ -120,3 +120,32 @@ def test_mesh_factory_shapes():
     if len(devs) >= 8:
         mesh = parallel.make_mesh(n_data=4, devices=devs[:8])
         assert mesh.shape["data"] == 4 and mesh.shape["sample"] == 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+def test_vmap_folds_fold_sharded_matches_unsharded(tmp_path, monkeypatch):
+    """--vmap_folds + --mesh shards the FOLD axis over mesh devices (folds
+    are independent, so the partitioned program has zero collectives); the
+    sharded run must reproduce the unsharded vmapped run."""
+    from vihds_tpu import xfold
+    from vihds_tpu.config import Trainer
+
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    args = make_args(spec("dr_constant_one.yaml"), epochs=2, test_epoch=2, folds=2)
+    args.train_samples = 4
+    args.test_samples = 4
+
+    def run(mesh, tag):
+        args.experiment = "foldmesh_" + tag
+        settings = Config(args)
+        settings.trainer = Trainer(args, log_dir=str(tmp_path / tag))
+        runner = xfold.VmapXval(args, settings, fold_mesh=mesh)
+        return runner.run()
+
+    res_plain = run(None, "plain")
+    mesh = xfold.make_fold_mesh(2, devices=jax.devices()[:2])
+    assert mesh is not None and mesh.shape["fold"] == 2
+    res_sharded = run(mesh, "sharded")
+    for a, b in zip(res_plain, res_sharded):
+        np.testing.assert_allclose(np.asarray(a.elbo_list), np.asarray(b.elbo_list), rtol=1e-4)
+        np.testing.assert_allclose(a.iw_predict_mu, b.iw_predict_mu, rtol=1e-3, atol=1e-5)

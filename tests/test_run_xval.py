@@ -145,3 +145,38 @@ def test_run_xval_unknown_model_message(tmp_path):
     r = run_cli("vihds_tpu.run_xval", [bad, "--experiment=bad"], tmp_path)
     assert r.returncode != 0
     assert "Unknown model" in r.stderr and "no_such_model" in r.stderr
+
+
+@pytest.mark.slow
+def test_vmap_folds_matches_sequential(tmp_path):
+    """--vmap_folds trains every fold inside ONE batched compiled program
+    (jax.vmap over the fold axis); per-fold ELBO trajectories and merged
+    artifacts must match the sequential driver up to float32 reassociation."""
+    r_seq = run_cli(
+        "vihds_tpu.call_run_xval",
+        [spec("dr_constant_one.yaml"), "--experiment=seqf", "--folds=2"],
+        tmp_path,
+    )
+    assert r_seq.returncode == 0, r_seq.stdout[-2000:] + r_seq.stderr[-2000:]
+    r_v = run_cli(
+        "vihds_tpu.call_run_xval",
+        [spec("dr_constant_one.yaml"), "--experiment=vmapf", "--folds=2", "--vmap_folds"],
+        tmp_path,
+    )
+    assert r_v.returncode == 0, r_v.stdout[-2000:] + r_v.stderr[-2000:]
+    assert "falling back to sequential" not in r_v.stdout
+
+    loc_seq = assert_split_artifacts(tmp_path, "seqf")
+    loc_v = assert_split_artifacts(tmp_path, "vmapf")
+    el_seq = np.load(os.path.join(loc_seq, "xval_elbo_list.npy"), allow_pickle=True)
+    el_v = np.load(os.path.join(loc_v, "xval_elbo_list.npy"), allow_pickle=True)
+    for f in range(2):
+        np.testing.assert_allclose(
+            np.asarray(el_v[f], float), np.asarray(el_seq[f], float), rtol=1e-3
+        )
+    mu_seq = np.load(os.path.join(loc_seq, "xval_iw_predict_mu.npy"))
+    mu_v = np.load(os.path.join(loc_v, "xval_iw_predict_mu.npy"))
+    np.testing.assert_allclose(mu_v, mu_seq, atol=1e-4)
+    ids_seq = np.load(os.path.join(loc_seq, "xval_ids.npy"), allow_pickle=True)
+    ids_v = np.load(os.path.join(loc_v, "xval_ids.npy"), allow_pickle=True)
+    np.testing.assert_array_equal(ids_v, ids_seq)

@@ -103,6 +103,16 @@ def create_parser(with_split: bool):
             "--figures", action="store_true", default=False, help="Create figures (default: False)"
         )
     parser.add_argument("--folds", type=int, default=4, help="Cross-validation folds")
+    parser.add_argument(
+        "--vmap_folds",
+        action="store_true",
+        default=False,
+        help="(call_run_xval) train ALL folds as one batched compiled program "
+        "(jax.vmap over a fold axis) instead of serial per-fold runs — "
+        "collapses k folds' worth of device dispatches/transfers into one "
+        "stream; falls back to the sequential driver for configurations the "
+        "batched program cannot express",
+    )
     return parser
 
 

@@ -208,6 +208,261 @@ def _stable_hash(obj):
     return h.hexdigest()
 
 
+def merge_eval_stacks(stacked_np, n_chunks, chunk, n):
+    """Host-side merge of one split's chunked eval outputs: flatten the
+    [n_chunks, chunk, ...] axes, trim the zero-index padding back to the true
+    ``n`` rows, unpack the packed bk_stats transfer, and compute the split
+    ELBO.  ``stacked_np``: dict of numpy arrays (theta handled by callers)."""
+    merged = AttrDict()
+    for k, v in stacked_np.items():
+        # [n_chunks, (4,)? chunk, ...] -> flatten the chunk axes, trim pad
+        if k == "bk_stats":
+            v = np.moveaxis(v, 1, 0).reshape(4, n_chunks * chunk, *v.shape[3:])[:, :n]
+        else:
+            v = v.reshape(n_chunks * chunk, *v.shape[2:])[:n]
+        merged[k] = v
+    log_w, log_p_obs, log_q, log_p = merged.pop("bk_stats")
+    merged["log_w"] = log_w
+    merged["log_p_obs"] = log_p_obs
+    merged["log_q"] = log_q
+    merged["log_p"] = log_p
+    merged["elbo"] = float(np.mean(merged["per_item_elbo"]))
+    return merged
+
+
+def reshape_eval_theta(v, n_chunks, chunk, n):
+    """[n_chunks, chunk, K, n_theta] host theta -> [n_theta, n, K]."""
+    v = v.reshape(n_chunks * chunk, *v.shape[2:])[:n]
+    return np.transpose(v, (2, 0, 1))
+
+
+def steps_cache_key(settings, program, model, args, n_batch, steps_per_epoch, multi, host, mesh):
+    """Fingerprint of everything a jitted step bakes in as constants.
+
+    Computed from HOST-side values only — touching device arrays here
+    (e.g. prior_q()) costs a device round-trip per array, ~20 s each
+    through the TPU tunnel.  Three layers:
+
+    * ``program.fingerprint()`` — the full compiled probabilistic
+      program: site names, distribution KINDS (LogNormal vs Normal
+      differ in traced math at identical moments), prior moments,
+      constants, truncation bounds, Kumaraswamy support, dependency
+      wiring;
+    * a canonical hash of the resolved ``settings.params`` section —
+      every hyperparameter the model/encoder/optimizer closures read
+      (architecture sizes, solver, schedule, precisions config, ...);
+    * the device-conditioning structure (depth + relevance vectors are
+      baked into the decoder trace) and batch/mesh shapes.
+    """
+    p = settings.params
+    if mesh is None:
+        mesh_key = None
+    else:
+        mesh_key = (
+            tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat),
+        )
+    d = settings.data
+    return (
+        settings.model,
+        program.fingerprint(),
+        _stable_hash(p),
+        model.use_laplace,
+        model.condition_on_device,
+        int(d.device_depth),
+        _stable_hash(getattr(d, "relevance_vectors", None)),
+        bool(getattr(args, "dreg", False)),
+        args.train_samples,
+        n_batch,
+        steps_per_epoch,
+        multi,
+        None if multi else host.observations.shape[1:],
+        None if multi else len(host.times),
+        None if multi else host.inputs.shape[1:],
+        None if multi else host.dev_1hot.shape[1:],
+        mesh_key,
+    )
+
+
+def make_optimizer(p, steps_per_epoch):
+    """Adam + multi-step LR decay (parity: vihds/training.py:82-86).
+
+    Optional global-norm gradient clipping (params.grad_clip_norm):
+    neural-precision specs can blow up the q precision head at the
+    reference's lr=0.01 (observed: NaN abort mid-fold on
+    auto_constant_precisions); off by default for parity.
+    """
+    boundaries = {
+        int(b) * steps_per_epoch: p.learning_gamma for b in p.learning_boundaries
+    }
+    schedule = optax.piecewise_constant_schedule(p.learning_rate, boundaries)
+    clip_norm = p.get("grad_clip_norm")
+    if clip_norm:
+        return optax.chain(optax.clip_by_global_norm(float(clip_norm)), optax.adam(schedule))
+    return optax.adam(schedule)
+
+
+def make_results(model, program, merged):
+    """Merged eval arrays -> Results (the best-val/serving artifact)."""
+    res = Results()
+    res.init(
+        model.state_names,
+        program,
+        merged.q_mu,
+        merged.q_prec,
+        merged.get("theta", np.zeros((program.n_theta, 0, 0), np.float32)),
+        merged.elbo,
+        {k: merged[k] for k in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance")},
+    )
+    return res
+
+
+def update_summaries(writer, epoch, merged, program, settings):
+    """TensorBoard scalars (parity: vihds/training.py:176-210 plus the
+    per-distribution q summaries of ChainedDistribution.attach_summaries,
+    reference vihds/distributions.py:156-159, 356-362)."""
+    if writer is None:
+        return
+    from vihds_tpu.utils import variable_summaries
+
+    plot_histograms = settings.params.plot_histograms
+    prog = program
+    n_var = len(prog.sites.local) + len(prog.sites.global_cond)
+    for i, site in enumerate(prog.sites.ordered):
+        if bool(prog.is_constant[i]):
+            continue
+        if i < n_var:
+            variable_summaries(writer, epoch, merged.q_mu[:, i], site.name + ".mu", plot_histograms)
+            variable_summaries(
+                writer, epoch, merged.q_prec[:, i], site.name + ".prec", plot_histograms
+            )
+        else:
+            writer.add_scalar("%s/mu" % site.name, float(merged.q_mu[:, i].mean()), epoch)
+            writer.add_scalar("%s/prec" % site.name, float(merged.q_prec[:, i].mean()), epoch)
+    log_w = merged.log_w
+    lse = merged.per_item_elbo + math.log(log_w.shape[1])
+    normed = np.exp(log_w - lse[:, None])
+    ts = min(1, log_w.shape[0] - 1)
+    variable_summaries(writer, epoch, log_w[ts, :], "IWS_unn_log", plot_histograms)
+    variable_summaries(writer, epoch, normed[ts, :], "IWS_normed", plot_histograms)
+    writer.add_scalar("ELBO/elbo", merged.elbo, epoch)
+    writer.add_scalar(
+        "ELBO/log_p", float(_np_logsumexp(merged.log_p_obs, 1).mean()), epoch
+    )
+    for i, name in enumerate(settings.data.signals):
+        writer.add_scalar(
+            "ELBO/log_p_" + name,
+            float(_np_logsumexp(merged.log_p_by_species[:, :, i], 1).mean()),
+            epoch,
+        )
+    writer.add_scalar("ELBO/log_prior", float(_np_logsumexp(merged.log_p, 1).mean()), epoch)
+    writer.add_scalar("ELBO/loq_q", float(_np_logsumexp(merged.log_q, 1).mean()), epoch)
+
+
+def make_step_fns(model, program, tx, args):
+    """UNJITTED (train_epoch, eval_split) step functions.
+
+    Shared by two consumers with different compilation strategies:
+    ``Training`` jits them (optionally GSPMD-sharded over a device mesh) and
+    ``xfold.VmapXval`` vmaps them over a leading FOLD axis so every
+    cross-validation fold trains inside one batched compiled program.
+    """
+    use_laplace = model.use_laplace
+    n_train_samples = args.train_samples
+    fold_ok = model.ode_model.supports_fold()
+
+    def loss_fn(params, batch, mask, key):
+        u = model.sample_u(key, batch.observations.shape[0], n_train_samples)
+        # checkpoint=True: recompute solver steps in backward (2.5x faster
+        # than storing residuals at these shapes; identical numerics)
+        if fold_ok:
+            # online log-lik inside the solver scan — no [B,K,S,T]
+            # trajectory buffer (OdeModel.simulate_logprob)
+            out = model.forward_logprob(params, batch, u, checkpoint=True)
+            log_p_obs = out.log_p_by_species.sum(axis=2)
+            log_q = program.log_prob(out.q, out.theta)
+            log_p = program.log_prob(program.prior_q(), out.theta)
+            terms = AttrDict(log_w=log_p_obs + log_p - log_q)
+        else:
+            out = model.forward(params, batch, u, checkpoint=True)
+            terms = iwae_elbo_terms(program, out, batch, use_laplace)
+        elbo = iwae_elbo(terms, mask)
+        return -elbo
+
+    if getattr(args, "dreg", False):
+        vag = dreg_value_and_grad(model, program, n_train_samples, use_laplace)
+    else:
+        def vag(params, batch, mask, key):
+            return jax.value_and_grad(loss_fn)(params, batch, mask, key)
+
+    def train_epoch(params, opt_state, key, stacks, times):
+        """All of an epoch's batches in ONE device dispatch: lax.scan over
+        ``stacks`` — an AttrDict pytree of [n_steps, B, ...] arrays
+        (observations, inputs, dev_1hot, mask, and for non-merged
+        multi-file data enc_observations).  This removes the per-step
+        host round-trip that dominates wall-clock for models this small
+        (the reference pays a full Python solver loop per batch,
+        vihds/solvers.py:9-17)."""
+
+        def body(carry, xs):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            batch = AttrDict(xs)
+            mask = batch.pop("mask")
+            batch["times"] = times
+            loss, grads = vag(params, batch, mask, sub)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), -loss
+
+        (params, opt_state, key), elbos = jax.lax.scan(
+            body, (params, opt_state, key), stacks
+        )
+        return params, opt_state, key, elbos
+
+    def eval_step(params, batch, mask, key, n_samples, with_theta=True):
+        u = model.sample_u(key, batch.observations.shape[0], n_samples)
+        out = model.forward(params, batch, u, eval_mode=True)
+        terms = iwae_elbo_terms(program, out, batch, use_laplace)
+        lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
+        per_item_elbo = lse - math.log(n_samples)
+        iw = _importance_weighted_outputs(terms, out)
+        res = AttrDict(
+            per_item_elbo=per_item_elbo,
+            # one packed [4, B, K] transfer instead of four (the tunnel
+            # charges per-array latency, not just bandwidth)
+            bk_stats=jnp.stack([terms.log_w, terms.log_p_obs, terms.log_q, terms.log_p]),
+            log_p_by_species=terms.log_p_by_species,
+            q_mu=out.q.mu,
+            q_prec=out.q.prec,
+            **iw,
+        )
+        if with_theta:
+            # natural [B, K, n] layout — transposing on device forces a
+            # relayout program (observed: 36 s first-transfer compile);
+            # the host reshapes for free
+            res["theta_bkn"] = out.theta_clipped
+        return res
+
+    def eval_split(params, stacks, times, key, n_samples, with_theta):
+        """All chunks of a split in ONE dispatch (lax.map over the
+        ``stacks`` AttrDict of [n_chunks, chunk, ...] arrays) so the host
+        pays each transfer's tunnel latency once per split, not once per
+        chunk."""
+        n_chunks = jax.tree_util.tree_leaves(stacks)[0].shape[0]
+        keys = jax.random.split(key, n_chunks)
+
+        def one(inp):
+            xs, k = inp
+            batch = AttrDict(xs)
+            batch["times"] = times
+            return eval_step(params, batch, None, k, n_samples, with_theta)
+
+        return jax.lax.map(one, (stacks, keys))
+
+    return train_epoch, eval_split
+
+
 class Training:
     """Orchestrates training of the latent space using the IWAE bound
     (parity: vihds/training.py:71-383)."""
@@ -243,19 +498,7 @@ class Training:
         else:
             steps_per_epoch = max(1, math.ceil(data.n_train / self.n_batch))
         self.steps_per_epoch = steps_per_epoch
-        boundaries = {
-            int(b) * steps_per_epoch: p.learning_gamma for b in p.learning_boundaries
-        }
-        schedule = optax.piecewise_constant_schedule(p.learning_rate, boundaries)
-        # Optional global-norm gradient clipping (params.grad_clip_norm):
-        # neural-precision specs can blow up the q precision head at the
-        # reference's lr=0.01 (observed: NaN abort mid-fold on
-        # auto_constant_precisions); off by default for parity.
-        clip_norm = p.get("grad_clip_norm")
-        if clip_norm:
-            self.tx = optax.chain(optax.clip_by_global_norm(float(clip_norm)), optax.adam(schedule))
-        else:
-            self.tx = optax.adam(schedule)
+        self.tx = make_optimizer(p, steps_per_epoch)
 
         # Full train/valid splits as host arrays for the big-K eval
         self.train_data = data.train.batch()
@@ -287,51 +530,17 @@ class Training:
 
     # ------------------------------------------------------------------ steps
     def _steps_cache_key(self):
-        """Fingerprint of everything the jitted steps bake in as constants.
-
-        Computed from HOST-side values only — touching device arrays here
-        (e.g. prior_q()) costs a device round-trip per array, ~20 s each
-        through the TPU tunnel.  Three layers:
-
-        * ``program.fingerprint()`` — the full compiled probabilistic
-          program: site names, distribution KINDS (LogNormal vs Normal
-          differ in traced math at identical moments), prior moments,
-          constants, truncation bounds, Kumaraswamy support, dependency
-          wiring;
-        * a canonical hash of the resolved ``settings.params`` section —
-          every hyperparameter the model/encoder/optimizer closures read
-          (architecture sizes, solver, schedule, precisions config, ...);
-        * the device-conditioning structure (depth + relevance vectors are
-          baked into the decoder trace) and batch/mesh shapes.
-        """
-        p = self.settings.params
-        host = self.train_data
-        if self.mesh is None:
-            mesh_key = None
-        else:
-            mesh_key = (
-                tuple(self.mesh.shape.items()),
-                tuple(d.id for d in self.mesh.devices.flat),
-            )
-        d = self.settings.data
-        return (
-            self.settings.model,
-            self.program.fingerprint(),
-            _stable_hash(p),
-            self.model.use_laplace,
-            self.model.condition_on_device,
-            int(d.device_depth),
-            _stable_hash(getattr(d, "relevance_vectors", None)),
-            bool(getattr(self.args, "dreg", False)),
-            self.args.train_samples,
+        """See the module-level ``steps_cache_key``."""
+        return steps_cache_key(
+            self.settings,
+            self.program,
+            self.model,
+            self.args,
             self.n_batch,
             self.steps_per_epoch,
             self.multi,
-            None if self.multi else host.observations.shape[1:],
-            None if self.multi else len(host.times),
-            None if self.multi else host.inputs.shape[1:],
-            None if self.multi else host.dev_1hot.shape[1:],
-            mesh_key,
+            self.train_data,
+            self.mesh,
         )
 
     def _build_steps(self):
@@ -351,100 +560,7 @@ class Training:
             _STEP_CACHE.popitem(last=False)
 
     def _build_steps_uncached(self):
-        model, program = self.model, self.program
-        use_laplace = model.use_laplace
-        n_train_samples = self.args.train_samples
-
-        fold_ok = model.ode_model.supports_fold()
-
-        def loss_fn(params, batch, mask, key):
-            u = model.sample_u(key, batch.observations.shape[0], n_train_samples)
-            # checkpoint=True: recompute solver steps in backward (2.5x faster
-            # than storing residuals at these shapes; identical numerics)
-            if fold_ok:
-                # online log-lik inside the solver scan — no [B,K,S,T]
-                # trajectory buffer (OdeModel.simulate_logprob)
-                out = model.forward_logprob(params, batch, u, checkpoint=True)
-                log_p_obs = out.log_p_by_species.sum(axis=2)
-                log_q = program.log_prob(out.q, out.theta)
-                log_p = program.log_prob(program.prior_q(), out.theta)
-                terms = AttrDict(log_w=log_p_obs + log_p - log_q)
-            else:
-                out = model.forward(params, batch, u, checkpoint=True)
-                terms = iwae_elbo_terms(program, out, batch, use_laplace)
-            elbo = iwae_elbo(terms, mask)
-            return -elbo
-
-        if getattr(self.args, "dreg", False):
-            vag = dreg_value_and_grad(model, program, n_train_samples, use_laplace)
-        else:
-            def vag(params, batch, mask, key):
-                return jax.value_and_grad(loss_fn)(params, batch, mask, key)
-
-        def train_epoch(params, opt_state, key, stacks, times):
-            """All of an epoch's batches in ONE device dispatch: lax.scan over
-            ``stacks`` — an AttrDict pytree of [n_steps, B, ...] arrays
-            (observations, inputs, dev_1hot, mask, and for non-merged
-            multi-file data enc_observations).  This removes the per-step
-            host round-trip that dominates wall-clock for models this small
-            (the reference pays a full Python solver loop per batch,
-            vihds/solvers.py:9-17)."""
-
-            def body(carry, xs):
-                params, opt_state, key = carry
-                key, sub = jax.random.split(key)
-                batch = AttrDict(xs)
-                mask = batch.pop("mask")
-                batch["times"] = times
-                loss, grads = vag(params, batch, mask, sub)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), -loss
-
-            (params, opt_state, key), elbos = jax.lax.scan(
-                body, (params, opt_state, key), stacks
-            )
-            return params, opt_state, key, elbos
-
-        def eval_step(params, batch, mask, key, n_samples, with_theta=True):
-            u = model.sample_u(key, batch.observations.shape[0], n_samples)
-            out = model.forward(params, batch, u, eval_mode=True)
-            terms = iwae_elbo_terms(program, out, batch, use_laplace)
-            lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
-            per_item_elbo = lse - math.log(n_samples)
-            iw = _importance_weighted_outputs(terms, out)
-            res = AttrDict(
-                per_item_elbo=per_item_elbo,
-                # one packed [4, B, K] transfer instead of four (the tunnel
-                # charges per-array latency, not just bandwidth)
-                bk_stats=jnp.stack([terms.log_w, terms.log_p_obs, terms.log_q, terms.log_p]),
-                log_p_by_species=terms.log_p_by_species,
-                q_mu=out.q.mu,
-                q_prec=out.q.prec,
-                **iw,
-            )
-            if with_theta:
-                # natural [B, K, n] layout — transposing on device forces a
-                # relayout program (observed: 36 s first-transfer compile);
-                # the host reshapes for free
-                res["theta_bkn"] = out.theta_clipped
-            return res
-
-        def eval_split(params, stacks, times, key, n_samples, with_theta):
-            """All chunks of a split in ONE dispatch (lax.map over the
-            ``stacks`` AttrDict of [n_chunks, chunk, ...] arrays) so the host
-            pays each transfer's tunnel latency once per split, not once per
-            chunk."""
-            n_chunks = jax.tree_util.tree_leaves(stacks)[0].shape[0]
-            keys = jax.random.split(key, n_chunks)
-
-            def one(inp):
-                xs, k = inp
-                batch = AttrDict(xs)
-                batch["times"] = times
-                return eval_step(params, batch, None, k, n_samples, with_theta)
-
-            return jax.lax.map(one, (stacks, keys))
+        train_epoch, eval_split = make_step_fns(self.model, self.program, self.tx, self.args)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -527,31 +643,17 @@ class Training:
         stacked = dict(stacked)
         theta_dev = stacked.pop("theta_bkn", None)
         stacked = jax.tree_util.tree_map(np.asarray, stacked)
-        merged = AttrDict()
-        for k, v in stacked.items():
-            # [n_chunks, (4,)? chunk, ...] -> flatten the chunk axes, trim pad
-            if k == "bk_stats":
-                v = np.moveaxis(v, 1, 0).reshape(4, n_chunks * chunk, *v.shape[3:])[:, :n]
-            else:
-                v = v.reshape(n_chunks * chunk, *v.shape[2:])[:n]
-            merged[k] = v
-        log_w, log_p_obs, log_q, log_p = merged.pop("bk_stats")
-        merged["log_w"] = log_w
-        merged["log_p_obs"] = log_p_obs
-        merged["log_q"] = log_q
-        merged["log_p"] = log_p
+        merged = merge_eval_stacks(stacked, n_chunks, chunk, n)
 
         def _fetch_theta():
             v = np.asarray(theta_dev)
-            v = v.reshape(n_chunks * chunk, *v.shape[2:])[:n]
-            return np.transpose(v, (2, 0, 1))
+            return reshape_eval_theta(v, n_chunks, chunk, n)
 
         if theta_dev is not None:
             if with_theta:
                 merged["theta"] = _fetch_theta()
             else:
                 merged["_theta_fetch"] = _fetch_theta
-        merged["elbo"] = float(np.mean(merged["per_item_elbo"]))
         return merged
 
     def _eval_multi(self, params, groups, n_samples, key, with_theta=True):
@@ -581,17 +683,7 @@ class Training:
         return merged
 
     def _make_results(self, merged):
-        res = Results()
-        res.init(
-            self.model.state_names,
-            self.program,
-            merged.q_mu,
-            merged.q_prec,
-            merged.get("theta", np.zeros((self.program.n_theta, 0, 0), np.float32)),
-            merged.elbo,
-            {k: merged[k] for k in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance")},
-        )
-        return res
+        return make_results(self.model, self.program, merged)
 
     def evaluate(self, params, host_data, n_samples, key, with_theta=True):
         """Public (serving-facing) evaluation of an arbitrary host batch.
@@ -607,45 +699,7 @@ class Training:
         return merged, self._make_results(merged)
 
     def _update_summaries(self, writer, epoch, merged):
-        """TensorBoard scalars (parity: vihds/training.py:176-210 plus the
-        per-distribution q summaries of ChainedDistribution.attach_summaries,
-        reference vihds/distributions.py:156-159, 356-362)."""
-        if writer is None:
-            return
-        from vihds_tpu.utils import variable_summaries
-
-        plot_histograms = self.settings.params.plot_histograms
-        prog = self.program
-        n_var = len(prog.sites.local) + len(prog.sites.global_cond)
-        for i, site in enumerate(prog.sites.ordered):
-            if bool(prog.is_constant[i]):
-                continue
-            if i < n_var:
-                variable_summaries(writer, epoch, merged.q_mu[:, i], site.name + ".mu", plot_histograms)
-                variable_summaries(
-                    writer, epoch, merged.q_prec[:, i], site.name + ".prec", plot_histograms
-                )
-            else:
-                writer.add_scalar("%s/mu" % site.name, float(merged.q_mu[:, i].mean()), epoch)
-                writer.add_scalar("%s/prec" % site.name, float(merged.q_prec[:, i].mean()), epoch)
-        log_w = merged.log_w
-        lse = merged.per_item_elbo + math.log(log_w.shape[1])
-        normed = np.exp(log_w - lse[:, None])
-        ts = min(1, log_w.shape[0] - 1)
-        variable_summaries(writer, epoch, log_w[ts, :], "IWS_unn_log", plot_histograms)
-        variable_summaries(writer, epoch, normed[ts, :], "IWS_normed", plot_histograms)
-        writer.add_scalar("ELBO/elbo", merged.elbo, epoch)
-        writer.add_scalar(
-            "ELBO/log_p", float(_np_logsumexp(merged.log_p_obs, 1).mean()), epoch
-        )
-        for i, name in enumerate(self.settings.data.signals):
-            writer.add_scalar(
-                "ELBO/log_p_" + name,
-                float(_np_logsumexp(merged.log_p_by_species[:, :, i], 1).mean()),
-                epoch,
-            )
-        writer.add_scalar("ELBO/log_prior", float(_np_logsumexp(merged.log_p, 1).mean()), epoch)
-        writer.add_scalar("ELBO/loq_q", float(_np_logsumexp(merged.log_q, 1).mean()), epoch)
+        return update_summaries(writer, epoch, merged, self.program, self.settings)
 
     def _evaluate_elbo_and_plot(self, params, epoch, log_data, train_writer, valid_writer, key):
         """Periodic big-K eval on the FULL train and valid splits

@@ -1,0 +1,481 @@
+"""Vmapped k-fold cross-validation: every fold of an experiment trains and
+evaluates inside ONE batched compiled program.
+
+The reference loops folds serially in Python (reference
+vihds/call_run_xval.py:12-31) — k full training runs back to back.  On TPU
+the per-dispatch tunnel/host latency, not device compute, dominates this
+workload (BASELINE.md), so running the folds as a leading ``jax.vmap`` axis
+of the SAME jitted train/eval steps collapses k folds' worth of dispatches
+and transfers into one stream: one train dispatch per eval boundary and one
+eval round per boundary cover every fold.  Device arithmetic is identical to
+the sequential path (same step functions, vmapped), so each fold's training
+matches its sequential run up to float32 reassociation.
+
+Enabled with ``--vmap_folds`` on ``call_run_xval``.  Falls back to the
+sequential driver (with a printed reason) for configurations the batched
+program cannot express: non-merged (``merge: false``) datasets, heldout
+splits, device meshes, checkpoint/resume, profiling, or folds whose padded
+batch counts differ.
+"""
+
+import copy
+import math
+import os
+import time
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vihds_tpu import plotting_hooks
+from vihds_tpu.data.datasets import build_datasets
+from vihds_tpu.prob import ParamProgram, parse_parameters
+from vihds_tpu.training import (
+    _STEP_CACHE,
+    _STEP_CACHE_MAX,
+    make_optimizer,
+    make_results,
+    make_step_fns,
+    merge_eval_stacks,
+    reshape_eval_theta,
+    steps_cache_key,
+    update_summaries,
+)
+from vihds_tpu.utils import TrainingLogData
+from vihds_tpu.utils.attrdict import AttrDict
+from vihds_tpu.vae import VAE
+
+
+def unsupported_reason(args, settings):
+    """None if the vmapped driver can run this configuration, else why not."""
+    if not settings.data.merge:
+        return "merge: false datasets group by file, not by fold"
+    if getattr(args, "heldout", None):
+        return "--heldout is a single split, not a k-fold"
+    if getattr(args, "checkpoint_epoch", 0) or getattr(args, "resume_from", None):
+        return "checkpoint/resume is per-fold state"
+    if getattr(args, "profile_dir", None):
+        return "profiling traces one fold's dispatch stream"
+    if args.folds < 2:
+        return "needs folds >= 2"
+    return None
+
+
+def make_fold_mesh(folds, devices=None):
+    """A 1-D ('fold',) mesh over the largest device count that divides
+    ``folds`` — the fold axis is embarrassingly parallel (folds never
+    communicate), so sharding it partitions the whole cross-validation with
+    ZERO collectives.  None when only one device would be used."""
+    from jax.sharding import Mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    n_dev = 1
+    for d in range(min(folds, len(devices)), 1, -1):
+        if folds % d == 0:
+            n_dev = d
+            break
+    if n_dev < 2:
+        return None
+    return Mesh(np.array(devices[:n_dev]), ("fold",))
+
+
+class VmapXval:
+    """All k folds of a cross-validation as one vmapped training run.
+
+    With ``fold_mesh`` the leading fold axis is additionally SHARDED over
+    the mesh devices (in_shardings P('fold') on every fold-stacked input):
+    folds are independent, so GSPMD partitions the entire program with no
+    collectives — k-fold cross-validation scales embarrassingly across
+    chips.
+    """
+
+    def __init__(self, args, settings, fold_mesh=None):
+        self.args = args
+        self.settings = settings
+        self.folds = args.folds
+        self.fold_mesh = fold_mesh
+
+        self.pairs = []
+        for split in range(1, self.folds + 1):
+            a = copy.copy(args)
+            a.heldout = None
+            a.split = split
+            self.pairs.append(build_datasets(a, settings))
+
+        self.program = ParamProgram(parse_parameters(settings.params))
+        self.model = VAE(settings, self.pairs[0], self.program)
+
+        p = settings.params
+        self.n_batch = min(p.n_batch, min(pair.n_train for pair in self.pairs))
+        batch_counts = {math.ceil(pair.n_train / self.n_batch) for pair in self.pairs}
+        if len(batch_counts) != 1:
+            # padding a shorter fold up to a larger batch count would create a
+            # fully-masked batch (0/0 ELBO); the sequential driver handles it
+            raise ValueError(
+                "folds have unequal padded batch counts %s" % sorted(batch_counts)
+            )
+        self.n_batches = batch_counts.pop()
+        self.steps_per_epoch = self.n_batches
+        self.tx = make_optimizer(p, self.steps_per_epoch)
+
+        self.train_hosts = [pair.train.batch() for pair in self.pairs]
+        self.valid_hosts = [pair.test.batch() for pair in self.pairs]
+
+        self.fold_names = ["%d_of_%d" % (f + 1, self.folds) for f in range(self.folds)]
+        if settings.trainer is not None:
+            root = settings.trainer.tb_log_dir
+            self.train_paths = [os.path.join(root, "train_%s" % n) for n in self.fold_names]
+            self.valid_paths = [os.path.join(root, "valid_%s" % n) for n in self.fold_names]
+            self.cache_dirs = [os.path.join(root, ".vihds_cache_%s" % n) for n in self.fold_names]
+            for d in self.train_paths + self.valid_paths:
+                os.makedirs(d, exist_ok=True)
+        else:
+            self.train_paths = self.valid_paths = [None] * self.folds
+            self.cache_dirs = [".vihds_cache_%s" % n for n in self.fold_names]
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------ steps
+    def _fold_shardings(self):
+        """(fold-axis sharding, replicated sharding) or (None, None)."""
+        if self.fold_mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (
+            NamedSharding(self.fold_mesh, P("fold")),
+            NamedSharding(self.fold_mesh, P()),
+        )
+
+    def _build_steps(self):
+        base = steps_cache_key(
+            self.settings, self.program, self.model, self.args,
+            self.n_batch, self.steps_per_epoch, False, self.train_hosts[0], self.fold_mesh,
+        )
+        key = ("vmap_folds", self.folds) + base
+        cached = _STEP_CACHE.get(key)
+        if cached is not None:
+            _STEP_CACHE.move_to_end(key)
+            self._train_v, self._eval_jits = cached
+            return
+        train_epoch, eval_split = make_step_fns(self.model, self.program, self.tx, self.args)
+        self._eval_split_raw = eval_split
+
+        def batched_train(params_v, opt_v, keys_v, stacks_v, times):
+            # times is shared across folds (same merged grid); everything else
+            # carries the leading fold axis
+            return jax.vmap(
+                lambda pp, oo, kk, ss: train_epoch(pp, oo, kk, ss, times)
+            )(params_v, opt_v, keys_v, stacks_v)
+
+        fold_sh, repl = self._fold_shardings()
+        if fold_sh is not None:
+            # shard every fold-stacked input over the mesh — the folds never
+            # communicate, so the partitioned program has zero collectives
+            self._train_v = jax.jit(
+                batched_train,
+                in_shardings=(fold_sh, fold_sh, fold_sh, fold_sh, repl),
+                donate_argnums=(0, 1),
+            )
+        else:
+            self._train_v = jax.jit(batched_train, donate_argnums=(0, 1))
+        # jitted vmapped eval per (n_samples, with_theta) — static_argnames
+        # does not survive the vmap wrapper, so close over them instead
+        self._eval_jits = {}
+        _STEP_CACHE[key] = (self._train_v, self._eval_jits)
+        while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+            _STEP_CACHE.popitem(last=False)
+
+    def _eval_v(self, params_v, stacks_v, times, keys_v, n_samples, with_theta):
+        k = (int(n_samples), bool(with_theta))
+        fn = self._eval_jits.get(k)
+        if fn is None:
+            eval_split = getattr(self, "_eval_split_raw", None)
+            if eval_split is None:  # steps came from the cross-instance cache
+                eval_split = make_step_fns(self.model, self.program, self.tx, self.args)[1]
+                self._eval_split_raw = eval_split
+
+            def batched_eval(params_v, stacks_v, times, keys_v):
+                return jax.vmap(
+                    lambda pp, ss, kk: eval_split(pp, ss, times, kk, n_samples, with_theta)
+                )(params_v, stacks_v, keys_v)
+
+            fold_sh, repl = self._fold_shardings()
+            if fold_sh is not None:
+                fn = jax.jit(batched_eval, in_shardings=(fold_sh, fold_sh, repl, fold_sh))
+            else:
+                fn = jax.jit(batched_eval)
+            self._eval_jits[k] = fn
+        return fn(params_v, stacks_v, times, keys_v)
+
+    # ------------------------------------------------------------------- eval
+    def _eval_stacks(self, hosts):
+        """Per-fold chunked index stacks, padded to a COMMON chunk grid:
+        [F, n_chunks, chunk, ...] arrays (pad rows repeat index 0 and are
+        trimmed per fold after the transfer, like Training._eval_full)."""
+        chunk = self.n_batch
+        ns = [h.observations.shape[0] for h in hosts]
+        n_chunks = math.ceil(max(ns) / chunk)
+        per_fold = []
+        for h, n in zip(hosts, ns):
+            idx = np.concatenate([np.arange(n), np.zeros(n_chunks * chunk - n, int)])
+            idx = idx.reshape(n_chunks, chunk)
+            per_fold.append(
+                dict(
+                    observations=h.observations[idx],
+                    inputs=h.inputs[idx],
+                    dev_1hot=h.dev_1hot[idx],
+                )
+            )
+        stacks = AttrDict(
+            (k, jnp.asarray(np.stack([p[k] for p in per_fold])))
+            for k in per_fold[0]
+        )
+        return stacks, ns, n_chunks, chunk
+
+    def _eval_folds(self, params_v, hosts, n_samples, keys_v, with_theta, defer_theta=False):
+        """One vmapped eval dispatch for a split of every fold; returns one
+        merged dict per fold (theta deferred per fold when requested)."""
+        stacks, ns, n_chunks, chunk = self._eval_stacks(hosts)
+        times = jnp.asarray(hosts[0].times)
+        stacked = self._eval_v(
+            params_v, stacks, times, keys_v, n_samples, with_theta or defer_theta
+        )
+        stacked = dict(stacked)
+        theta_dev = stacked.pop("theta_bkn", None)
+        # ONE host transfer per output key covers every fold — this is the
+        # transfer-amortisation that makes the vmapped driver fast through
+        # the tunnel
+        stacked = jax.tree_util.tree_map(np.asarray, stacked)
+        merged_folds = []
+        for f, n in enumerate(ns):
+            merged = merge_eval_stacks(
+                {k: v[f] for k, v in stacked.items()}, n_chunks, chunk, n
+            )
+            if theta_dev is not None:
+                def _fetch(f=f, n=n):
+                    return reshape_eval_theta(np.asarray(theta_dev[f]), n_chunks, chunk, n)
+
+                if with_theta:
+                    merged["theta"] = _fetch()
+                else:
+                    merged["_theta_fetch"] = _fetch
+            merged_folds.append(merged)
+        return merged_folds
+
+    def _fold_proxy(self, f):
+        """Duck-typed stand-in for a Training instance, for plotting hooks."""
+        return SimpleNamespace(
+            settings=self.settings,
+            program=self.program,
+            model=self.model,
+            train_data=self.train_hosts[f],
+            valid_data=self.valid_hosts[f],
+        )
+
+    # -------------------------------------------------------------------- run
+    def run(self):
+        """Train every fold; returns a list of per-fold Results (None for
+        folds that hit the NaN abort before caching a best-val)."""
+        args = self.args
+        F = self.folds
+        seed = self.settings.seed or 0
+
+        if self.settings.trainer is not None:
+            from torch.utils.tensorboard import SummaryWriter
+
+            train_writers = [SummaryWriter(p) for p in self.train_paths]
+            valid_writers = [SummaryWriter(p) for p in self.valid_paths]
+        else:
+            train_writers = [None] * F
+            valid_writers = [None] * F
+
+        # Mirror the sequential driver exactly: every fold starts from the
+        # SAME seed-derived key, so init params and every u draw match what
+        # run_on_split would have produced for that fold.
+        key = jax.random.PRNGKey(seed)
+        key, k_init = jax.random.split(key)
+        params1 = self.model.init_params(k_init)
+        stack_f = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * F), t
+        )
+        params_v = stack_f(params1)
+        opt_v = stack_f(self.tx.init(params1))
+        keys_v = jnp.stack([key] * F)
+
+        n_trains = [pair.n_train for pair in self.pairs]
+        times = jnp.asarray(self.train_hosts[0].times)
+        log_datas = [TrainingLogData() for _ in range(F)]
+        valid_outputs = [None] * F
+        empty_cache = [True] * F
+        alive = [True] * F
+
+        def epoch_perm(e, n_train):
+            return np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32)).permutation(n_train)
+
+        def next_boundary(e):
+            te = args.test_epoch
+            return min(args.epochs, ((e - 1) // te + 1) * te)
+
+        print("---------------------------")
+        print("Training: %d folds vmapped (one batched program)" % F)
+        epoch = 1
+        while any(alive) and epoch < args.epochs + 1:
+            start = time.time()
+            end_epoch = next_boundary(epoch)
+            n_ep = end_epoch - epoch + 1
+            fold_stacks = []
+            for f in range(F):
+                n_train = n_trains[f]
+                pad = self.n_batches * self.n_batch - n_train
+                perms = np.stack([epoch_perm(e, n_train) for e in range(epoch, end_epoch + 1)])
+                masks = np.ones((n_ep, self.n_batches * self.n_batch), np.float32)
+                if pad:
+                    masks[:, n_train:] = 0.0
+                    perms = np.concatenate([perms, np.zeros((n_ep, pad), int)], axis=1)
+                idx = perms.reshape(n_ep * self.n_batches, self.n_batch)
+                host = self.train_hosts[f]
+                fold_stacks.append(
+                    dict(
+                        observations=host.observations[idx],
+                        inputs=host.inputs[idx],
+                        dev_1hot=host.dev_1hot[idx],
+                        mask=masks.reshape(n_ep * self.n_batches, self.n_batch),
+                    )
+                )
+            stacks_v = AttrDict(
+                (k, jnp.asarray(np.stack([s[k] for s in fold_stacks])))
+                for k in fold_stacks[0]
+            )
+            params_v, opt_v, keys_v, elbos_v = self._train_v(
+                params_v, opt_v, keys_v, stacks_v, times
+            )
+            elbos_v = np.asarray(elbos_v)
+            for f in range(F):
+                if alive[f] and not np.isfinite(elbos_v[f]).all():
+                    print("Fold %d: ELBO = nan, freezing this fold." % (f + 1))
+                    alive[f] = False
+            epoch = end_epoch
+            for f in range(F):
+                log_datas[f].total_train_time += time.time() - start
+            if np.mod(epoch, args.test_epoch) == 0 and any(alive):
+                # mirror Training.run exactly: the eval keys derive from each
+                # fold's POST-training carried key (key, sub = split(key);
+                # k1, k2 = split(sub)) so per-fold eval draws match the
+                # sequential driver's
+                kk = jax.vmap(jax.random.split)(keys_v)
+                keys_v, sub_v = kk[:, 0], kk[:, 1]
+                kk2 = jax.vmap(jax.random.split)(sub_v)
+                k1_v, k2_v = kk2[:, 0], kk2[:, 1]
+                self._eval_boundary(
+                    params_v, epoch, k1_v, k2_v, log_datas, train_writers, valid_writers,
+                    valid_outputs, empty_cache, alive,
+                )
+            epoch += 1
+
+        for w in train_writers + valid_writers:
+            if w is not None:
+                w.close()
+
+        results = []
+        for f in range(F):
+            if empty_cache[f]:
+                print("Fold %d: no results in cache" % (f + 1))
+                results.append(None)
+                continue
+            out = valid_outputs[f]
+            out.load(self.cache_dirs[f])
+            out.elbo_list = log_datas[f].validation_elbo_list
+            results.append(out)
+        return results
+
+    def _eval_boundary(
+        self, params_v, epoch, k1_v, k2_v, log_datas, train_writers, valid_writers,
+        valid_outputs, empty_cache, alive,
+    ):
+        args = self.args
+        F = self.folds
+        test_start = time.time()
+        plot = (args.plot_epoch > 0) and (np.mod(epoch, args.plot_epoch) == 0)
+        want_theta_plot = bool(getattr(self.settings.params, "theta_columns", None)) and plot
+
+        train_folds = self._eval_folds(
+            params_v, self.train_hosts, args.train_samples, k1_v, with_theta=want_theta_plot
+        )
+        valid_folds = self._eval_folds(
+            params_v, self.valid_hosts, args.test_samples, k2_v,
+            with_theta=False, defer_theta=True,
+        )
+        for f in range(F):
+            if not alive[f]:
+                continue
+            log_data = log_datas[f]
+            log_data.n_test += 1
+            train_merged, valid_merged = train_folds[f], valid_folds[f]
+            update_summaries(train_writers[f], epoch, train_merged, self.program, self.settings)
+            improved = valid_merged.elbo > log_data.max_val_elbo
+            fetch_theta = valid_merged.pop("_theta_fetch", None)
+            if fetch_theta is not None and improved:
+                valid_merged["theta"] = fetch_theta()
+            update_summaries(valid_writers[f], epoch, valid_merged, self.program, self.settings)
+            valid_output = make_results(self.model, self.program, valid_merged)
+            if valid_writers[f] is not None and plot:
+                proxy = self._fold_proxy(f)
+                train_output = make_results(self.model, self.program, train_merged)
+                plotting_hooks.eval_plots(
+                    proxy, train_writers[f], epoch, self.train_hosts[f], train_output,
+                    dynamic=self.model.ode_model.precisions.dynamic,
+                )
+                plotting_hooks.eval_plots(
+                    proxy, valid_writers[f], epoch, self.valid_hosts[f], valid_output,
+                    dynamic=self.model.ode_model.precisions.dynamic,
+                )
+                if want_theta_plot:
+                    plotting_hooks.weighted_theta_plot(
+                        proxy, valid_writers[f], epoch, train_merged
+                    )
+            if improved:
+                log_data.max_val_elbo = valid_merged.elbo
+                valid_output.dump(self.cache_dirs[f])
+                empty_cache[f] = False
+            valid_outputs[f] = valid_output
+            log_data.training_elbo_list.append(train_merged.elbo)
+            log_data.validation_elbo_list.append(valid_merged.elbo)
+            log_data.total_test_time += time.time() - test_start
+            print(
+                "epoch %4d | fold %d | train (iwae-elbo = %0.4f) | val (iwae-elbo = %0.4f)"
+                % (epoch, f + 1, train_merged.elbo, valid_merged.elbo)
+            )
+
+
+def run_all_folds(args, settings):
+    """Entry point for call_run_xval: returns [(split_idx, data_pair,
+    val_results-or-None)] or None when this configuration needs the
+    sequential driver."""
+    reason = unsupported_reason(args, settings)
+    if reason is not None:
+        print("vmap_folds: falling back to sequential folds (%s)" % reason)
+        return None
+    fold_mesh = None
+    if getattr(args, "mesh", "off") != "off" or getattr(args, "mesh_data", None) \
+            or getattr(args, "mesh_sample", None):
+        # --vmap_folds + --mesh: shard the fold axis itself over the devices
+        # (folds are independent; the partitioned program has no collectives)
+        fold_mesh = make_fold_mesh(args.folds)
+        if fold_mesh is None:
+            print("vmap_folds: no device count > 1 divides folds=%d; running unsharded"
+                  % args.folds)
+        else:
+            print("Fold mesh: %d folds sharded over %d devices"
+                  % (args.folds, fold_mesh.shape["fold"]))
+    try:
+        runner = VmapXval(args, settings, fold_mesh=fold_mesh)
+    except ValueError as e:
+        print("vmap_folds: falling back to sequential folds (%s)" % e)
+        return None
+    results = runner.run()
+    return [
+        (f + 1, runner.pairs[f], results[f])
+        for f in range(args.folds)
+    ]
