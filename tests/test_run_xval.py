@@ -180,3 +180,55 @@ def test_vmap_folds_matches_sequential(tmp_path):
     ids_seq = np.load(os.path.join(loc_seq, "xval_ids.npy"), allow_pickle=True)
     ids_v = np.load(os.path.join(loc_v, "xval_ids.npy"), allow_pickle=True)
     np.testing.assert_array_equal(ids_v, ids_seq)
+
+
+def test_vmap_folds_fallback_semantics(capsys, tmp_results):
+    """run_all_folds falls back (returns None) exactly for the configurations
+    the batched program cannot express: an explicit (data, sample) mesh
+    factorisation, and fold layouts whose common eval chunk grid would change
+    per-fold eval RNG streams vs the sequential driver."""
+    from tests.conftest import make_args
+    from vihds_tpu import xfold
+    from vihds_tpu.config import Config
+
+    # explicit --mesh_data/--mesh_sample: the sequential driver shards each
+    # fold over that mesh; the fold-axis sharding cannot honour it
+    args = make_args(spec("dr_constant_one.yaml"), folds=2)
+    args.mesh_data = 2
+    settings = Config(args)
+    assert xfold.run_all_folds(args, settings) is None
+    assert "explicit --mesh_data/--mesh_sample" in capsys.readouterr().out
+
+    # unequal VALID eval chunk counts (48 series, 5 folds, n_batch=9: valid
+    # sizes 10,10,10,9,9 -> ceil(n/9) chunk counts {2,1}); eval_split does
+    # split(key, n_chunks), so padding to a common grid would change those
+    # folds' eval u-draws
+    args = make_args(spec("dr_constant_one.yaml"), folds=5)
+    settings = Config(args)
+    settings.params.n_batch = 9
+    assert xfold.run_all_folds(args, settings) is None
+    assert "eval chunk counts" in capsys.readouterr().out
+
+    # --mesh auto with no device count > 1 dividing folds (11 is prime and
+    # above the 8-device pool): sequential driver still uses every device
+    # via its own (data, sample) mesh
+    args = make_args(spec("dr_constant_one.yaml"), folds=11)
+    args.mesh = "auto"
+    settings = Config(args)
+    assert xfold.run_all_folds(args, settings) is None
+    assert "no device count > 1 divides folds=11" in capsys.readouterr().out
+
+
+def test_vmap_folds_config_errors_not_swallowed(tmp_results):
+    """A genuine config error raised while VmapXval builds datasets/model
+    must surface as the error it is — not be misreported as a
+    fall-back-to-sequential condition."""
+    from tests.conftest import make_args
+    from vihds_tpu import xfold
+    from vihds_tpu.config import Config
+
+    args = make_args(spec("dr_constant_one.yaml"), folds=2)
+    settings = Config(args)
+    settings.params.transfer_func = "no_such_activation"
+    with pytest.raises(ValueError, match="transfer_func"):
+        xfold.run_all_folds(args, settings)

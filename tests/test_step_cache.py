@@ -1,7 +1,8 @@
-"""Cross-fold compiled-step reuse: Training instances with identical
-configuration (spec, priors, shapes, schedule, mesh) must share their jitted
-train/eval steps — one XLA compile per configuration, not per fold — and the
-reuse must be numerically invisible."""
+"""Cross-fold / cross-node compiled-step reuse: Training instances with the
+same STRUCTURAL configuration (spec structure, shapes, schedule, mesh) must
+share their jitted train/eval steps — one XLA compile per configuration, not
+per fold or per inference-graph node (prior values ride as runtime
+arguments) — and the reuse must be numerically invisible."""
 
 import numpy as np
 import jax
@@ -33,8 +34,17 @@ def test_folds_share_compiled_steps_and_results_are_unchanged():
     t1 = _training(split=1)
     t2 = _training(split=2)
     assert len(T._STEP_CACHE) == 1
-    assert t2._train_epoch is t1._train_epoch
-    assert t2._eval_split is t1._eval_split
+    # both instances bind the SAME cached jitted steps (the per-instance
+    # wrapper only injects each instance's prior arrays)
+    (cached_train, cached_eval) = next(iter(T._STEP_CACHE.values()))
+
+    def closed_over(fn, target):
+        return any(c.cell_contents is target for c in fn.__closure__)
+
+    assert closed_over(t1._train_epoch, cached_train)
+    assert closed_over(t2._train_epoch, cached_train)
+    assert closed_over(t1._eval_split, cached_eval)
+    assert closed_over(t2._eval_split, cached_eval)
 
     # fold 2 through the CACHED steps
     res_cached = t2.run()
@@ -43,7 +53,7 @@ def test_folds_share_compiled_steps_and_results_are_unchanged():
     # fold 2 with a cold cache (its own compile)
     T._STEP_CACHE.clear()
     t2_fresh = _training(split=2)
-    assert t2_fresh._train_epoch is not t2._train_epoch
+    assert not closed_over(t2_fresh._train_epoch, cached_train)
     res_fresh = t2_fresh.run()
     np.testing.assert_array_equal(cached_elbos, list(res_fresh.elbo_list))
     np.testing.assert_allclose(res_cached.elbo, res_fresh.elbo, rtol=0, atol=0)
@@ -58,9 +68,13 @@ def test_cache_key_sensitivity():
     assert len(T._STEP_CACHE) == 3
 
 
-def test_prior_change_invalidates_cache():
-    """Inference-graph prior propagation mutates settings.params between
-    nodes; the baked-in prior moments must be part of the key."""
+def test_prior_change_shares_executable_and_is_exact():
+    """Inference-graph prior propagation mutates prior moments between
+    nodes.  Prior values ride as runtime ARGUMENTS of the jitted steps
+    (ParamProgram.runtime_priors), so a prior-only change must HIT the
+    compiled-step cache — one executable for every propagated node — and
+    training through the shared executable must be bit-identical to a
+    fresh compile of the new program."""
     T._STEP_CACHE.clear()
     args = make_args(spec("dr_constant_one.yaml"))
     args.epochs = 2
@@ -74,10 +88,20 @@ def test_prior_change_invalidates_cache():
     T.Training(args, settings, data, program, model)
 
     settings.params.local.r.mu = float(settings.params.local.r.mu) + 0.5
+    settings.params.global_conditioned.aR.sigma = 1.5
     program2 = ParamProgram(parse_parameters(settings.params))
     model2 = VAE(settings, data, program2)
-    T.Training(args, settings, data, program2, model2)
-    assert len(T._STEP_CACHE) == 2
+    t2 = T.Training(args, settings, data, program2, model2)
+    assert len(T._STEP_CACHE) == 1, "prior-only change must reuse the executable"
+    res_shared = t2.run()
+
+    T._STEP_CACHE.clear()
+    prog_fresh = ParamProgram(parse_parameters(settings.params))
+    model_fresh = VAE(settings, data, prog_fresh)
+    t2_fresh = T.Training(args, settings, data, prog_fresh, model_fresh)
+    res_fresh = t2_fresh.run()
+    np.testing.assert_array_equal(list(res_shared.elbo_list), list(res_fresh.elbo_list))
+    np.testing.assert_allclose(res_shared.elbo, res_fresh.elbo, rtol=0, atol=0)
 
 
 def test_distribution_kind_changes_the_key(tmp_path):

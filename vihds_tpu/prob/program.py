@@ -158,6 +158,72 @@ class ParamProgram:
             prec=jnp.asarray(self.prior_prec)[None, :],
         )
 
+    def runtime_priors(self, stddevs=4):
+        """Prior moments + theta clip bounds as host arrays to pass INTO the
+        jitted train/eval steps as runtime arguments (rather than traced
+        constants).  Two programs that differ only in prior values — e.g.
+        inference-graph nodes after posterior->prior propagation — then share
+        one compiled executable, saving the multi-minute XLA recompile per
+        node on TPU."""
+        lo, hi = self.clip_bounds(stddevs)
+        return AttrDict(
+            mu=np.asarray(self.prior_mu, np.float32),
+            prec=np.asarray(self.prior_prec, np.float32),
+            clip_lo=np.asarray(lo, np.float32),
+            clip_hi=np.asarray(hi, np.float32),
+        )
+
+    def structural_fingerprint(self):
+        """``fingerprint()`` minus the prior moments of inferred sites —
+        everything the traced sample/log_prob/clip math still bakes in when
+        the priors ride as runtime arguments (see ``runtime_priors``): site
+        names, tiers, KINDS, conditioning flags, dependency wiring, constant
+        values, truncation bounds, Kumaraswamy support.  The compiled-step
+        cache keys on this so propagated-prior inference-graph nodes reuse
+        one executable."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for s in self.sites.ordered:
+            h.update(
+                repr(
+                    (
+                        s.name,
+                        s.tier,
+                        s.kind,
+                        s.mu_dep,
+                        s.prec_dep,
+                        s.cond_devices,
+                        s.cond_treatments,
+                    )
+                ).encode()
+            )
+        for arr in (
+            self.is_lognormal,
+            self.is_constant,
+            self.is_truncated,
+            self.is_kumaraswamy,
+            self.const_value,
+            self.trunc_a,
+            self.trunc_b,
+            self.zmin,
+            self.zmax,
+        ):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(repr(self.dep_sites).encode())
+        h.update(repr(self.topo_order).encode())
+        h.update(
+            repr(
+                (
+                    self.local_slice,
+                    self.global_cond_slice,
+                    self.global_slice,
+                    self.constant_slice,
+                )
+            ).encode()
+        )
+        return h.hexdigest()
+
     def theta_dict(self, theta):
         """View theta[..., n_theta] as named [...,]-column slices."""
         return AttrDict((name, theta[..., i]) for i, name in enumerate(self.names))

@@ -34,7 +34,17 @@ from vihds_tpu.utils import TrainingLogData
 from vihds_tpu.utils.attrdict import AttrDict
 
 
-def iwae_elbo_terms(program, out, batch, use_laplace):
+def prior_as_q(program, priors=None):
+    """The prior p as q-style arrays: from the runtime ``priors`` argument
+    when given (so prior values are NOT baked into the trace and programs
+    differing only in priors share one executable), else the program's
+    baked constants."""
+    if priors is not None:
+        return AttrDict(mu=priors["mu"][None, :], prec=priors["prec"][None, :])
+    return program.prior_q()
+
+
+def iwae_elbo_terms(program, out, batch, use_laplace, priors=None):
     """log-weights and components: returns AttrDict with log_w[B,K],
     log_p_by_species[B,K,S], log_p_obs[B,K], log_q[B,K], log_p[B,K]
     (parity: cost() at vihds/training.py:127-174)."""
@@ -43,7 +53,7 @@ def iwae_elbo_terms(program, out, batch, use_laplace):
     )
     log_p_obs = log_p_by_species.sum(axis=2)
     log_q = program.log_prob(out.q, out.theta)
-    log_p = program.log_prob(program.prior_q(), out.theta)
+    log_p = program.log_prob(prior_as_q(program, priors), out.theta)
     log_w = log_p_obs + log_p - log_q
     return AttrDict(
         log_w=log_w,
@@ -78,7 +88,7 @@ def dreg_value_and_grad(model, program, n_samples, use_laplace):
 
     fold_ok = model.ode_model.supports_fold()
 
-    def value_and_grad(params, batch, mask, key):
+    def value_and_grad(params, batch, mask, key, priors=None):
         B = batch.observations.shape[0]
 
         def fwd(params):
@@ -89,15 +99,15 @@ def dreg_value_and_grad(model, program, n_samples, use_laplace):
             if fold_ok:
                 # online log-lik inside the solver scan — no [B,K,S,T]
                 # trajectory buffer (OdeModel.simulate_logprob)
-                out = model.forward_logprob(params, batch, u, checkpoint=True)
+                out = model.forward_logprob(params, batch, u, checkpoint=True, priors=priors)
                 log_p_by_species = out.log_p_by_species
             else:
-                out = model.forward(params, batch, u, checkpoint=True)
+                out = model.forward(params, batch, u, checkpoint=True, priors=priors)
                 log_p_by_species = log_prob_observations(
                     out.x_predict, batch.observations, out.precisions, use_laplace
                 )
             log_lik = log_p_by_species.sum(axis=2)
-            log_p = program.log_prob(program.prior_q(), out.theta)
+            log_p = program.log_prob(prior_as_q(program, priors), out.theta)
             log_q = program.log_prob(out.q, out.theta)
             q_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, out.q)
             log_q_sg = program.log_prob(q_sg, out.theta)
@@ -176,6 +186,51 @@ _STEP_CACHE = OrderedDict()
 _STEP_CACHE_MAX = 8
 
 
+def steps_cache_get(key):
+    """Bounded-LRU lookup; refreshes recency on hit."""
+    cached = _STEP_CACHE.get(key)
+    if cached is not None:
+        _STEP_CACHE.move_to_end(key)
+    return cached
+
+
+def steps_cache_put(key, value):
+    _STEP_CACHE[key] = value
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
+
+
+def epoch_perm(seed, e, n_train):
+    """Batch permutation for absolute epoch ``e``, derived from (seed, e)
+    alone — a resumed run therefore sees exactly the batch orders the
+    uninterrupted run would have seen (a single stateful RNG stream cannot
+    be fast-forwarded across --resume_from).  Shared by the sequential and
+    vmapped-fold drivers, whose equivalence contract depends on bit-equal
+    permutations."""
+    return np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32)).permutation(n_train)
+
+
+def build_epoch_stacks(train_host, seed, epoch, end_epoch, n_batch, n_batches, n_train):
+    """Shuffled, padded batch-index stacks for epochs [epoch, end_epoch]:
+    a dict of numpy [n_ep*n_batches, n_batch, ...] arrays (observations,
+    inputs, dev_1hot, mask) ready for one fused lax.scan dispatch.  Pad
+    rows repeat index 0 and carry mask 0."""
+    n_ep = end_epoch - epoch + 1
+    pad_total = n_batches * n_batch - n_train
+    perms = np.stack([epoch_perm(seed, e, n_train) for e in range(epoch, end_epoch + 1)])
+    masks = np.ones((n_ep, n_batches * n_batch), np.float32)
+    if pad_total:
+        masks[:, n_train:] = 0.0
+        perms = np.concatenate([perms, np.zeros((n_ep, pad_total), int)], axis=1)
+    idx = perms.reshape(n_ep * n_batches, n_batch)
+    return dict(
+        observations=train_host.observations[idx],
+        inputs=train_host.inputs[idx],
+        dev_1hot=train_host.dev_1hot[idx],
+        mask=masks.reshape(n_ep * n_batches, n_batch),
+    )
+
+
 def _stable_hash(obj):
     """Deterministic digest of nested dict/list/scalar/ndarray config
     structures (repr truncates large numpy arrays; this walks them)."""
@@ -236,6 +291,9 @@ def reshape_eval_theta(v, n_chunks, chunk, n):
     return np.transpose(v, (2, 0, 1))
 
 
+_TIER_KEYS = ("shared", "constant", "global", "global_conditioned", "local")
+
+
 def steps_cache_key(settings, program, model, args, n_batch, steps_per_epoch, multi, host, mesh):
     """Fingerprint of everything a jitted step bakes in as constants.
 
@@ -243,18 +301,22 @@ def steps_cache_key(settings, program, model, args, n_batch, steps_per_epoch, mu
     (e.g. prior_q()) costs a device round-trip per array, ~20 s each
     through the TPU tunnel.  Three layers:
 
-    * ``program.fingerprint()`` — the full compiled probabilistic
-      program: site names, distribution KINDS (LogNormal vs Normal
-      differ in traced math at identical moments), prior moments,
+    * ``program.structural_fingerprint()`` — the compiled probabilistic
+      program MINUS prior values (those ride as runtime arguments, see
+      runtime_priors): site names/tiers/KINDS, conditioning flags,
       constants, truncation bounds, Kumaraswamy support, dependency
-      wiring;
-    * a canonical hash of the resolved ``settings.params`` section —
-      every hyperparameter the model/encoder/optimizer closures read
-      (architecture sizes, solver, schedule, precisions config, ...);
+      wiring.  Inference-graph nodes that differ only in propagated
+      prior moments therefore hash EQUAL and share one executable;
+    * a canonical hash of the NON-TIER keys of the resolved
+      ``settings.params`` section — every hyperparameter the
+      model/encoder/optimizer closures read (architecture sizes, solver,
+      schedule, precisions config, ...); the tier sections are excluded
+      because their traced-math content is already in the structural
+      fingerprint and their prior moments must NOT key the cache;
     * the device-conditioning structure (depth + relevance vectors are
       baked into the decoder trace) and batch/mesh shapes.
     """
-    p = settings.params
+    p = {k: v for k, v in settings.params.items() if k not in _TIER_KEYS}
     if mesh is None:
         mesh_key = None
     else:
@@ -265,7 +327,7 @@ def steps_cache_key(settings, program, model, args, n_batch, steps_per_epoch, mu
     d = settings.data
     return (
         settings.model,
-        program.fingerprint(),
+        program.structural_fingerprint(),
         _stable_hash(p),
         model.use_laplace,
         model.condition_on_device,
@@ -371,38 +433,42 @@ def make_step_fns(model, program, tx, args):
     n_train_samples = args.train_samples
     fold_ok = model.ode_model.supports_fold()
 
-    def loss_fn(params, batch, mask, key):
+    def loss_fn(params, batch, mask, key, priors):
         u = model.sample_u(key, batch.observations.shape[0], n_train_samples)
         # checkpoint=True: recompute solver steps in backward (2.5x faster
         # than storing residuals at these shapes; identical numerics)
         if fold_ok:
             # online log-lik inside the solver scan — no [B,K,S,T]
             # trajectory buffer (OdeModel.simulate_logprob)
-            out = model.forward_logprob(params, batch, u, checkpoint=True)
+            out = model.forward_logprob(params, batch, u, checkpoint=True, priors=priors)
             log_p_obs = out.log_p_by_species.sum(axis=2)
             log_q = program.log_prob(out.q, out.theta)
-            log_p = program.log_prob(program.prior_q(), out.theta)
+            log_p = program.log_prob(prior_as_q(program, priors), out.theta)
             terms = AttrDict(log_w=log_p_obs + log_p - log_q)
         else:
-            out = model.forward(params, batch, u, checkpoint=True)
-            terms = iwae_elbo_terms(program, out, batch, use_laplace)
+            out = model.forward(params, batch, u, checkpoint=True, priors=priors)
+            terms = iwae_elbo_terms(program, out, batch, use_laplace, priors=priors)
         elbo = iwae_elbo(terms, mask)
         return -elbo
 
     if getattr(args, "dreg", False):
         vag = dreg_value_and_grad(model, program, n_train_samples, use_laplace)
     else:
-        def vag(params, batch, mask, key):
-            return jax.value_and_grad(loss_fn)(params, batch, mask, key)
+        def vag(params, batch, mask, key, priors):
+            return jax.value_and_grad(loss_fn)(params, batch, mask, key, priors)
 
-    def train_epoch(params, opt_state, key, stacks, times):
+    def train_epoch(params, opt_state, key, stacks, times, priors):
         """All of an epoch's batches in ONE device dispatch: lax.scan over
         ``stacks`` — an AttrDict pytree of [n_steps, B, ...] arrays
         (observations, inputs, dev_1hot, mask, and for non-merged
         multi-file data enc_observations).  This removes the per-step
         host round-trip that dominates wall-clock for models this small
         (the reference pays a full Python solver loop per batch,
-        vihds/solvers.py:9-17)."""
+        vihds/solvers.py:9-17).
+
+        ``priors`` (program.runtime_priors() arrays) ride as ARGUMENTS so
+        that inference-graph nodes differing only in (propagated) prior
+        values share this one compiled program."""
 
         def body(carry, xs):
             params, opt_state, key = carry
@@ -410,7 +476,7 @@ def make_step_fns(model, program, tx, args):
             batch = AttrDict(xs)
             mask = batch.pop("mask")
             batch["times"] = times
-            loss, grads = vag(params, batch, mask, sub)
+            loss, grads = vag(params, batch, mask, sub, priors)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), -loss
@@ -420,10 +486,10 @@ def make_step_fns(model, program, tx, args):
         )
         return params, opt_state, key, elbos
 
-    def eval_step(params, batch, mask, key, n_samples, with_theta=True):
+    def eval_step(params, batch, mask, key, priors, n_samples, with_theta=True):
         u = model.sample_u(key, batch.observations.shape[0], n_samples)
-        out = model.forward(params, batch, u, eval_mode=True)
-        terms = iwae_elbo_terms(program, out, batch, use_laplace)
+        out = model.forward(params, batch, u, eval_mode=True, priors=priors)
+        terms = iwae_elbo_terms(program, out, batch, use_laplace, priors=priors)
         lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
         per_item_elbo = lse - math.log(n_samples)
         iw = _importance_weighted_outputs(terms, out)
@@ -444,7 +510,7 @@ def make_step_fns(model, program, tx, args):
             res["theta_bkn"] = out.theta_clipped
         return res
 
-    def eval_split(params, stacks, times, key, n_samples, with_theta):
+    def eval_split(params, stacks, times, key, priors, n_samples, with_theta):
         """All chunks of a split in ONE dispatch (lax.map over the
         ``stacks`` AttrDict of [n_chunks, chunk, ...] arrays) so the host
         pays each transfer's tunnel latency once per split, not once per
@@ -456,7 +522,7 @@ def make_step_fns(model, program, tx, args):
             xs, k = inp
             batch = AttrDict(xs)
             batch["times"] = times
-            return eval_step(params, batch, None, k, n_samples, with_theta)
+            return eval_step(params, batch, None, k, priors, n_samples, with_theta)
 
         return jax.lax.map(one, (stacks, keys))
 
@@ -544,20 +610,28 @@ class Training:
         )
 
     def _build_steps(self):
+        # Prior moments + clip bounds ride as runtime ARGUMENTS of the jitted
+        # steps (see ParamProgram.runtime_priors): two Training instances
+        # whose programs differ only in prior values — e.g. inference-graph
+        # nodes after posterior->prior propagation — share one executable.
+        self._priors = AttrDict(
+            (k, jnp.asarray(v)) for k, v in self.program.runtime_priors().items()
+        )
         key = self._steps_cache_key()
-        cached = _STEP_CACHE.get(key)
-        if cached is not None:
-            # A previous fold/node already compiled this exact configuration:
-            # its jitted steps close over a functionally identical model /
-            # program / optimiser (all hyperparameters are in the key; fold
-            # data enters as arguments), so reuse them verbatim.
-            _STEP_CACHE.move_to_end(key)
-            self._train_epoch, self._eval_split = cached
-            return
-        self._build_steps_uncached()
-        _STEP_CACHE[key] = (self._train_epoch, self._eval_split)
-        while len(_STEP_CACHE) > _STEP_CACHE_MAX:
-            _STEP_CACHE.popitem(last=False)
+        cached = steps_cache_get(key)
+        if cached is None:
+            # A cache hit means a previous fold/node already compiled this
+            # exact structural configuration: its jitted steps close over a
+            # functionally identical model / program / optimiser (all
+            # hyperparameters are in the key; fold data and priors enter as
+            # arguments), so they are reused verbatim.
+            cached = self._build_steps_uncached()
+            steps_cache_put(key, cached)
+        train_jit, eval_jit = cached
+        priors = self._priors
+        # External signatures stay priors-free; each instance binds its own.
+        self._train_epoch = lambda p, o, k, s, t: train_jit(p, o, k, s, t, priors)
+        self._eval_split = lambda p, s, t, k, n, w: eval_jit(p, s, t, k, priors, n, w)
 
     def _build_steps_uncached(self):
         train_epoch, eval_split = make_step_fns(self.model, self.program, self.tx, self.args)
@@ -573,28 +647,29 @@ class Training:
             # [B, K, ...] intermediate — including the ODE trajectory — is
             # sharded over both mesh axes and GSPMD inserts the gradient
             # psum + cross-'sample' logsumexp collectives.
-            self._train_epoch = self._ambient_mesh(
+            train_jit = self._ambient_mesh(
                 jax.jit(
                     train_epoch,
                     # `stacked` applies as a pytree prefix to every leaf of
                     # the stacks AttrDict: batch rows (axis 1) over 'data'
-                    in_shardings=(repl, repl, repl, stacked, repl),
+                    in_shardings=(repl, repl, repl, stacked, repl, repl),
                     donate_argnums=(0, 1),
                 )
             )
             # Eval: the big-K split evaluation is sharded the same way —
             # chunk rows over 'data', K over 'sample' — so a K=1000 eval
             # holds only K/n_sample samples per chip (SURVEY.md hard part #4).
-            self._eval_split = self._ambient_mesh(
+            eval_jit = self._ambient_mesh(
                 jax.jit(
                     eval_split,
-                    in_shardings=(repl, stacked, repl, repl),
+                    in_shardings=(repl, stacked, repl, repl, repl),
                     static_argnames=("n_samples", "with_theta"),
                 )
             )
         else:
-            self._train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
-            self._eval_split = jax.jit(eval_split, static_argnames=("n_samples", "with_theta"))
+            train_jit = jax.jit(train_epoch, donate_argnums=(0, 1))
+            eval_jit = jax.jit(eval_split, static_argnames=("n_samples", "with_theta"))
+        return train_jit, eval_jit
 
     def _ambient_mesh(self, fn):
         """Make self.mesh the ambient mesh while ``fn`` runs, so the
@@ -856,13 +931,6 @@ class Training:
                 print("Resumed from %s at epoch %d" % (resume_from, start_epoch - 1))
 
         n_train = self.dataset_pair.n_train
-
-        def epoch_perm(e):
-            """Batch permutation for absolute epoch ``e``, derived from
-            (seed, e) alone — a resumed run therefore sees exactly the batch
-            orders the uninterrupted run would have seen (a single stateful
-            RNG stream cannot be fast-forwarded across --resume_from)."""
-            return np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32)).permutation(n_train)
         train_host = self.train_data
         times = jnp.asarray(train_host.times)
 
@@ -876,7 +944,6 @@ class Training:
         iterating = True
         epoch = start_epoch
         n_batches = math.ceil(n_train / self.n_batch)
-        pad_total = n_batches * self.n_batch - n_train
         profile_dir = getattr(self.args, "profile_dir", None)
         traced = False
 
@@ -892,7 +959,6 @@ class Training:
         while iterating and (epoch < self.args.epochs + 1):
             epoch_start = time.time()
             end_epoch = next_boundary(epoch)
-            n_ep = end_epoch - epoch + 1
 
             from vihds_tpu import profiling
 
@@ -908,17 +974,12 @@ class Training:
                     # to the next eval/checkpoint boundary (host+tunnel
                     # overhead is ~25x the device compute per epoch otherwise
                     # — see BASELINE.md).
-                    perms = np.stack([epoch_perm(e) for e in range(epoch, end_epoch + 1)])
-                    masks = np.ones((n_ep, n_batches * self.n_batch), np.float32)
-                    if pad_total:
-                        masks[:, n_train:] = 0.0
-                        perms = np.concatenate([perms, np.zeros((n_ep, pad_total), int)], axis=1)
-                    idx = perms.reshape(n_ep * n_batches, self.n_batch)
                     stacks = AttrDict(
-                        observations=jnp.asarray(train_host.observations[idx]),
-                        inputs=jnp.asarray(train_host.inputs[idx]),
-                        dev_1hot=jnp.asarray(train_host.dev_1hot[idx]),
-                        mask=jnp.asarray(masks.reshape(n_ep * n_batches, self.n_batch)),
+                        (k, jnp.asarray(v))
+                        for k, v in build_epoch_stacks(
+                            train_host, seed, epoch, end_epoch,
+                            self.n_batch, n_batches, n_train,
+                        ).items()
                     )
                     params, opt_state, key, chunk_elbos = self._train_epoch(
                         params, opt_state, key, stacks, times

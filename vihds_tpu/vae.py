@@ -50,10 +50,15 @@ class VAE:
         u = jax.random.normal(key, (n_batch, n_samples, self.n_theta), jnp.float32)
         return parallel.constrain_u(u)
 
-    def forward(self, params, batch, u, checkpoint=False, eval_mode=False):
+    def forward(self, params, batch, u, checkpoint=False, eval_mode=False, priors=None):
         """One forward pass.  ``batch``: AttrDict of device arrays
         (observations[B,S,T], inputs[B,C], dev_1hot[B,D], times[T]);
         ``u``: [B,K,n_theta] standard-normal draws.
+
+        ``priors`` (optional): ``program.runtime_priors()`` arrays — when
+        given, the +-4 sigma theta clip bounds come from the ARGUMENT
+        instead of being baked into the trace, so models differing only in
+        prior values share one compiled program.
 
         Returns AttrDict with x_states[B,K,S,T], x_predict[B,K,4,T],
         precisions (broadcastable to x_predict), theta[B,K,n_theta] (clipped),
@@ -71,11 +76,18 @@ class VAE:
         # ELBO -> +1e7 on dr_constant_one).  With log q at the sampled theta
         # the two formulations are identical whenever clipping is inactive
         # (any sample within +-4 prior sigmas) and the exploit is gone.
-        clipped = self.program.clip(theta, stddevs=4)
+        clipped = self._clip(theta, priors)
         decoded = self.decode(params, clipped, batch, checkpoint=checkpoint, eval_mode=eval_mode)
         decoded["theta"] = theta  # sampled (unclipped): what log q / log p score
         decoded["q"] = q
         return decoded
+
+    def _clip(self, theta, priors=None):
+        """+-4 sigma prior clip: bounds from the runtime ``priors`` argument
+        when given (shared-executable path), else baked from the program."""
+        if priors is not None:
+            return jnp.clip(theta, priors["clip_lo"], priors["clip_hi"])
+        return self.program.clip(theta, stddevs=4)
 
     def decode(self, params, theta_clipped, batch, checkpoint=False, eval_mode=False):
         """Decoder-only pass for GIVEN clipped theta draws [B,K,n_theta]:
@@ -112,7 +124,7 @@ class VAE:
         )
 
 
-    def forward_logprob(self, params, batch, u, checkpoint=True):
+    def forward_logprob(self, params, batch, u, checkpoint=True, priors=None):
         """Training-objective forward: encode -> sample -> clip -> condition
         -> integrate with the observation log-likelihood accumulated ONLINE
         in the solver scan (OdeModel.simulate_logprob) — the [B,K,S,T]
@@ -122,7 +134,7 @@ class VAE:
         differs."""
         q = self.encoder(params["enc"], batch)
         theta = self.program.sample(q, u)
-        clipped = self.program.clip(theta, stddevs=4)
+        clipped = self._clip(theta, priors)
         th = self.program.theta_dict(clipped)
         if self.condition_on_device:
             th = self.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)

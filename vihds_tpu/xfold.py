@@ -11,11 +11,17 @@ eval round per boundary cover every fold.  Device arithmetic is identical to
 the sequential path (same step functions, vmapped), so each fold's training
 matches its sequential run up to float32 reassociation.
 
-Enabled with ``--vmap_folds`` on ``call_run_xval``.  Falls back to the
-sequential driver (with a printed reason) for configurations the batched
-program cannot express: non-merged (``merge: false``) datasets, heldout
-splits, device meshes, checkpoint/resume, profiling, or folds whose padded
-batch counts differ.
+Enabled with ``--vmap_folds`` on ``call_run_xval``.  With ``--mesh auto``
+the fold axis itself is sharded over the devices (when some device count
+> 1 divides ``folds``) — folds never communicate, so the partitioned
+program has zero collectives.  Falls back to the sequential driver (with a
+printed reason) for configurations the batched program cannot express:
+non-merged (``merge: false``) datasets, heldout splits, an explicit
+``--mesh_data``/``--mesh_sample`` factorisation (the sequential driver
+shards each fold over the requested (data, sample) mesh), ``--mesh auto``
+when no device count divides the folds, checkpoint/resume, profiling, or
+folds whose padded batch or eval-chunk counts differ (a common chunk grid
+would change those folds' eval RNG streams vs the sequential driver).
 """
 
 import copy
@@ -32,19 +38,27 @@ from vihds_tpu import plotting_hooks
 from vihds_tpu.data.datasets import build_datasets
 from vihds_tpu.prob import ParamProgram, parse_parameters
 from vihds_tpu.training import (
-    _STEP_CACHE,
-    _STEP_CACHE_MAX,
+    build_epoch_stacks,
     make_optimizer,
     make_results,
     make_step_fns,
     merge_eval_stacks,
     reshape_eval_theta,
+    steps_cache_get,
     steps_cache_key,
+    steps_cache_put,
     update_summaries,
 )
 from vihds_tpu.utils import TrainingLogData
 from vihds_tpu.utils.attrdict import AttrDict
 from vihds_tpu.vae import VAE
+
+
+class UnsupportedVmapXval(ValueError):
+    """The batched driver cannot express this configuration exactly; the
+    caller falls back to the sequential fold loop.  A dedicated type so
+    run_all_folds does not swallow unrelated config errors raised while
+    building datasets/model."""
 
 
 def unsupported_reason(args, settings):
@@ -112,15 +126,34 @@ class VmapXval:
         if len(batch_counts) != 1:
             # padding a shorter fold up to a larger batch count would create a
             # fully-masked batch (0/0 ELBO); the sequential driver handles it
-            raise ValueError(
+            raise UnsupportedVmapXval(
                 "folds have unequal padded batch counts %s" % sorted(batch_counts)
             )
         self.n_batches = batch_counts.pop()
+        # The eval chunk grid must also be common across folds: eval_split
+        # does jax.random.split(key, n_chunks), so padding a fold up to a
+        # LARGER chunk count than the sequential driver would use changes
+        # that fold's eval u-draws (split(key, 1) != split(key, 2)[0]) —
+        # breaking the exact-equivalence contract, not just reassociation.
+        for name, hosts_n in (
+            ("valid", [pair.n_test for pair in self.pairs]),
+            ("train", [pair.n_train for pair in self.pairs]),
+        ):
+            chunk_counts = {math.ceil(n / self.n_batch) for n in hosts_n}
+            if len(chunk_counts) != 1:
+                raise UnsupportedVmapXval(
+                    "folds have unequal %s eval chunk counts %s"
+                    % (name, sorted(chunk_counts))
+                )
         self.steps_per_epoch = self.n_batches
         self.tx = make_optimizer(p, self.steps_per_epoch)
 
         self.train_hosts = [pair.train.batch() for pair in self.pairs]
         self.valid_hosts = [pair.test.batch() for pair in self.pairs]
+
+        self._priors = AttrDict(
+            (k, jnp.asarray(v)) for k, v in self.program.runtime_priors().items()
+        )
 
         self.fold_names = ["%d_of_%d" % (f + 1, self.folds) for f in range(self.folds)]
         if settings.trainer is not None:
@@ -154,19 +187,18 @@ class VmapXval:
             self.n_batch, self.steps_per_epoch, False, self.train_hosts[0], self.fold_mesh,
         )
         key = ("vmap_folds", self.folds) + base
-        cached = _STEP_CACHE.get(key)
+        cached = steps_cache_get(key)
         if cached is not None:
-            _STEP_CACHE.move_to_end(key)
             self._train_v, self._eval_jits = cached
             return
         train_epoch, eval_split = make_step_fns(self.model, self.program, self.tx, self.args)
         self._eval_split_raw = eval_split
 
-        def batched_train(params_v, opt_v, keys_v, stacks_v, times):
-            # times is shared across folds (same merged grid); everything else
-            # carries the leading fold axis
+        def batched_train(params_v, opt_v, keys_v, stacks_v, times, priors):
+            # times and priors are shared across folds (same merged grid,
+            # same spec); everything else carries the leading fold axis
             return jax.vmap(
-                lambda pp, oo, kk, ss: train_epoch(pp, oo, kk, ss, times)
+                lambda pp, oo, kk, ss: train_epoch(pp, oo, kk, ss, times, priors)
             )(params_v, opt_v, keys_v, stacks_v)
 
         fold_sh, repl = self._fold_shardings()
@@ -175,7 +207,7 @@ class VmapXval:
             # communicate, so the partitioned program has zero collectives
             self._train_v = jax.jit(
                 batched_train,
-                in_shardings=(fold_sh, fold_sh, fold_sh, fold_sh, repl),
+                in_shardings=(fold_sh, fold_sh, fold_sh, fold_sh, repl, repl),
                 donate_argnums=(0, 1),
             )
         else:
@@ -183,9 +215,7 @@ class VmapXval:
         # jitted vmapped eval per (n_samples, with_theta) — static_argnames
         # does not survive the vmap wrapper, so close over them instead
         self._eval_jits = {}
-        _STEP_CACHE[key] = (self._train_v, self._eval_jits)
-        while len(_STEP_CACHE) > _STEP_CACHE_MAX:
-            _STEP_CACHE.popitem(last=False)
+        steps_cache_put(key, (self._train_v, self._eval_jits))
 
     def _eval_v(self, params_v, stacks_v, times, keys_v, n_samples, with_theta):
         k = (int(n_samples), bool(with_theta))
@@ -196,18 +226,20 @@ class VmapXval:
                 eval_split = make_step_fns(self.model, self.program, self.tx, self.args)[1]
                 self._eval_split_raw = eval_split
 
-            def batched_eval(params_v, stacks_v, times, keys_v):
+            def batched_eval(params_v, stacks_v, times, keys_v, priors):
                 return jax.vmap(
-                    lambda pp, ss, kk: eval_split(pp, ss, times, kk, n_samples, with_theta)
+                    lambda pp, ss, kk: eval_split(pp, ss, times, kk, priors, n_samples, with_theta)
                 )(params_v, stacks_v, keys_v)
 
             fold_sh, repl = self._fold_shardings()
             if fold_sh is not None:
-                fn = jax.jit(batched_eval, in_shardings=(fold_sh, fold_sh, repl, fold_sh))
+                fn = jax.jit(
+                    batched_eval, in_shardings=(fold_sh, fold_sh, repl, fold_sh, repl)
+                )
             else:
                 fn = jax.jit(batched_eval)
             self._eval_jits[k] = fn
-        return fn(params_v, stacks_v, times, keys_v)
+        return fn(params_v, stacks_v, times, keys_v, self._priors)
 
     # ------------------------------------------------------------------- eval
     def _eval_stacks(self, hosts):
@@ -234,9 +266,11 @@ class VmapXval:
         )
         return stacks, ns, n_chunks, chunk
 
-    def _eval_folds(self, params_v, hosts, n_samples, keys_v, with_theta, defer_theta=False):
+    def _eval_folds(self, params_v, hosts, n_samples, keys_v, with_theta,
+                    defer_theta=False, alive=None):
         """One vmapped eval dispatch for a split of every fold; returns one
-        merged dict per fold (theta deferred per fold when requested)."""
+        merged dict per fold (theta deferred per fold when requested; None
+        for NaN-frozen folds, whose host-side merge is skipped)."""
         stacks, ns, n_chunks, chunk = self._eval_stacks(hosts)
         times = jnp.asarray(hosts[0].times)
         stacked = self._eval_v(
@@ -250,6 +284,9 @@ class VmapXval:
         stacked = jax.tree_util.tree_map(np.asarray, stacked)
         merged_folds = []
         for f, n in enumerate(ns):
+            if alive is not None and not alive[f]:
+                merged_folds.append(None)
+                continue
             merged = merge_eval_stacks(
                 {k: v[f] for k, v in stacked.items()}, n_chunks, chunk, n
             )
@@ -311,9 +348,6 @@ class VmapXval:
         empty_cache = [True] * F
         alive = [True] * F
 
-        def epoch_perm(e, n_train):
-            return np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32)).permutation(n_train)
-
         def next_boundary(e):
             te = args.test_epoch
             return min(args.epochs, ((e - 1) // te + 1) * te)
@@ -326,22 +360,29 @@ class VmapXval:
             end_epoch = next_boundary(epoch)
             n_ep = end_epoch - epoch + 1
             fold_stacks = []
+            dead_stack = None
             for f in range(F):
-                n_train = n_trains[f]
-                pad = self.n_batches * self.n_batch - n_train
-                perms = np.stack([epoch_perm(e, n_train) for e in range(epoch, end_epoch + 1)])
-                masks = np.ones((n_ep, self.n_batches * self.n_batch), np.float32)
-                if pad:
-                    masks[:, n_train:] = 0.0
-                    perms = np.concatenate([perms, np.zeros((n_ep, pad), int)], axis=1)
-                idx = perms.reshape(n_ep * self.n_batches, self.n_batch)
-                host = self.train_hosts[f]
+                if not alive[f]:
+                    # NaN-frozen fold: the device program still needs its
+                    # [F, ...] slice, but its contents are irrelevant (params
+                    # are already NaN and its elbos are ignored) — skip the
+                    # per-epoch RandomState permutations and reuse row 0.
+                    if dead_stack is None:
+                        n_steps = n_ep * self.n_batches
+                        idx = np.zeros((n_steps, self.n_batch), int)
+                        host = self.train_hosts[f]
+                        dead_stack = dict(
+                            observations=host.observations[idx],
+                            inputs=host.inputs[idx],
+                            dev_1hot=host.dev_1hot[idx],
+                            mask=np.ones((n_steps, self.n_batch), np.float32),
+                        )
+                    fold_stacks.append(dead_stack)
+                    continue
                 fold_stacks.append(
-                    dict(
-                        observations=host.observations[idx],
-                        inputs=host.inputs[idx],
-                        dev_1hot=host.dev_1hot[idx],
-                        mask=masks.reshape(n_ep * self.n_batches, self.n_batch),
+                    build_epoch_stacks(
+                        self.train_hosts[f], seed, epoch, end_epoch,
+                        self.n_batch, self.n_batches, n_trains[f],
                     )
                 )
             stacks_v = AttrDict(
@@ -349,7 +390,7 @@ class VmapXval:
                 for k in fold_stacks[0]
             )
             params_v, opt_v, keys_v, elbos_v = self._train_v(
-                params_v, opt_v, keys_v, stacks_v, times
+                params_v, opt_v, keys_v, stacks_v, times, self._priors
             )
             elbos_v = np.asarray(elbos_v)
             for f in range(F):
@@ -357,8 +398,12 @@ class VmapXval:
                     print("Fold %d: ELBO = nan, freezing this fold." % (f + 1))
                     alive[f] = False
             epoch = end_epoch
+            # one batched dispatch trains every fold at once; charge each
+            # fold the amortised share so the counters stay comparable to
+            # the sequential driver's per-fold times
+            per_fold_elapsed = (time.time() - start) / F
             for f in range(F):
-                log_datas[f].total_train_time += time.time() - start
+                log_datas[f].total_train_time += per_fold_elapsed
             if np.mod(epoch, args.test_epoch) == 0 and any(alive):
                 # mirror Training.run exactly: the eval keys derive from each
                 # fold's POST-training carried key (key, sub = split(key);
@@ -401,15 +446,21 @@ class VmapXval:
         want_theta_plot = bool(getattr(self.settings.params, "theta_columns", None)) and plot
 
         train_folds = self._eval_folds(
-            params_v, self.train_hosts, args.train_samples, k1_v, with_theta=want_theta_plot
+            params_v, self.train_hosts, args.train_samples, k1_v,
+            with_theta=want_theta_plot, alive=alive,
         )
         valid_folds = self._eval_folds(
             params_v, self.valid_hosts, args.test_samples, k2_v,
-            with_theta=False, defer_theta=True,
+            with_theta=False, defer_theta=True, alive=alive,
         )
+        # the batched dispatch+transfer served every fold at once; charge
+        # each live fold the amortised share, then its own merge/plot time
+        n_live = max(1, sum(alive))
+        dispatch_share = (time.time() - test_start) / n_live
         for f in range(F):
             if not alive[f]:
                 continue
+            fold_start = time.time()
             log_data = log_datas[f]
             log_data.n_test += 1
             train_merged, valid_merged = train_folds[f], valid_folds[f]
@@ -442,7 +493,7 @@ class VmapXval:
             valid_outputs[f] = valid_output
             log_data.training_elbo_list.append(train_merged.elbo)
             log_data.validation_elbo_list.append(valid_merged.elbo)
-            log_data.total_test_time += time.time() - test_start
+            log_data.total_test_time += dispatch_share + (time.time() - fold_start)
             print(
                 "epoch %4d | fold %d | train (iwae-elbo = %0.4f) | val (iwae-elbo = %0.4f)"
                 % (epoch, f + 1, train_merged.elbo, valid_merged.elbo)
@@ -458,20 +509,37 @@ def run_all_folds(args, settings):
         print("vmap_folds: falling back to sequential folds (%s)" % reason)
         return None
     fold_mesh = None
-    if getattr(args, "mesh", "off") != "off" or getattr(args, "mesh_data", None) \
-            or getattr(args, "mesh_sample", None):
-        # --vmap_folds + --mesh: shard the fold axis itself over the devices
-        # (folds are independent; the partitioned program has no collectives)
+    if getattr(args, "mesh_data", None) or getattr(args, "mesh_sample", None):
+        # An explicit (data, sample) factorisation is a request the fold-axis
+        # sharding cannot honour — the sequential driver shards each fold
+        # over exactly that mesh, so use it rather than silently running the
+        # whole cross-validation on one device.
+        print(
+            "vmap_folds: falling back to sequential folds "
+            "(explicit --mesh_data/--mesh_sample: each fold shards over the "
+            "requested (data, sample) mesh)"
+        )
+        return None
+    if getattr(args, "mesh", "off") != "off":
+        # --vmap_folds + --mesh auto: shard the fold axis itself over the
+        # devices (folds are independent; the partitioned program has no
+        # collectives)
         fold_mesh = make_fold_mesh(args.folds)
         if fold_mesh is None:
-            print("vmap_folds: no device count > 1 divides folds=%d; running unsharded"
-                  % args.folds)
-        else:
-            print("Fold mesh: %d folds sharded over %d devices"
-                  % (args.folds, fold_mesh.shape["fold"]))
+            # no device count > 1 divides folds: the sequential driver can
+            # still use every device via its (data, sample) mesh — running
+            # the batched program here would degrade multi-device to 1 chip
+            print(
+                "vmap_folds: falling back to sequential folds "
+                "(no device count > 1 divides folds=%d; sequential folds "
+                "shard over the (data, sample) mesh)" % args.folds
+            )
+            return None
+        print("Fold mesh: %d folds sharded over %d devices"
+              % (args.folds, fold_mesh.shape["fold"]))
     try:
         runner = VmapXval(args, settings, fold_mesh=fold_mesh)
-    except ValueError as e:
+    except UnsupportedVmapXval as e:
         print("vmap_folds: falling back to sequential folds (%s)" % e)
         return None
     results = runner.run()
