@@ -219,6 +219,48 @@ def test_vmap_folds_fallback_semantics(capsys, tmp_results):
     assert "no device count > 1 divides folds=11" in capsys.readouterr().out
 
 
+def test_vmap_folds_nan_freeze(capsys, tmp_results):
+    """A fold whose fused train dispatch returns non-finite ELBOs is frozen
+    (mirroring the sequential driver's per-fold NaN abort): later dispatches
+    carry it as a dead slice, its eval merge/plot work is skipped, its
+    results slot is None, and the surviving folds complete normally."""
+    from tests.conftest import make_args
+    from vihds_tpu import training as T
+    from vihds_tpu.config import Config
+    from vihds_tpu.xfold import VmapXval
+
+    T._STEP_CACHE.clear()
+    args = make_args(spec("dr_constant_one.yaml"), folds=2)
+    settings = Config(args)
+    settings.trainer = None
+    runner = VmapXval(args, settings)
+    orig = runner._train_v
+    calls = dict(n=0)
+
+    def poisoned(params_v, opt_v, keys_v, stacks_v, times, priors):
+        p, o, k, e = orig(params_v, opt_v, keys_v, stacks_v, times, priors)
+        calls["n"] += 1
+        e = np.asarray(e).copy()
+        if calls["n"] == 1:
+            e[0] = np.nan  # fold 1 "diverges" on the first fused dispatch
+        return p, o, k, e
+
+    runner._train_v = poisoned
+    results = runner.run()
+    out = capsys.readouterr().out
+    assert "Fold 1: ELBO = nan, freezing this fold." in out
+    # the second boundary's dispatch still runs (fold 2 is alive) with
+    # fold 1 riding as a dead slice
+    assert calls["n"] == 2
+    # fold 1 froze before its first eval: no cached results, no eval lines
+    assert results[0] is None
+    assert "Fold 1: no results in cache" in out
+    assert "| fold 1 |" not in out
+    # fold 2 is untouched: two eval boundaries, finite cached results
+    assert out.count("| fold 2 |") == 2
+    assert results[1] is not None and np.isfinite(results[1].elbo)
+
+
 def test_vmap_folds_config_errors_not_swallowed(tmp_results):
     """A genuine config error raised while VmapXval builds datasets/model
     must surface as the error it is — not be misreported as a

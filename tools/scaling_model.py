@@ -110,15 +110,13 @@ def main():
     times = jnp.asarray(host.times)
     key = jax.random.PRNGKey(0)
 
-    # Lower + compile the SAME sharded train-epoch Training dispatches.
+    # Lower + compile the SAME sharded train-epoch Training dispatches
+    # (tr._train_step_jit is the underlying jit object; priors ride as a
+    # runtime argument of the step).
     with parallel.use_mesh(mesh):
-        import inspect
-
-        jitted = tr._train_epoch
-        # tr._train_epoch is the ambient-mesh wrapper around the jit; reach the
-        # jit through the closure to lower it.
-        inner = [c.cell_contents for c in jitted.__closure__ if callable(c.cell_contents)][0]
-        compiled = inner.lower(params, opt_state, key, stacks, times).compile()
+        compiled = tr._train_step_jit.lower(
+            params, opt_state, key, stacks, times, tr._priors
+        ).compile()
         hlo = compiled.as_text()
 
     cols = collect(hlo)

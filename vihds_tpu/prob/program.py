@@ -112,43 +112,19 @@ class ParamProgram:
 
     # ------------------------------------------------------------------ helpers
     def fingerprint(self):
-        """SHA1 of every structural constant the traced sample/log_prob/clip
-        functions bake in: site names, distribution KINDS (LogNormal vs
-        Normal change the traced math with identical moments), prior
-        moments, constants, truncation bounds, Kumaraswamy support, and the
-        dependency wiring.  Two programs with equal fingerprints compile to
-        identical XLA — the contract training's compiled-step cache relies
-        on."""
+        """SHA1 identifying the FULL program: every structural constant the
+        traced sample/log_prob/clip functions bake in
+        (``structural_fingerprint``) PLUS the prior moments.  Derived from
+        structural_fingerprint so the two can never drift — the compiled-step
+        cache keys on the structural part alone (prior values ride as
+        runtime arguments, see ``runtime_priors``); this full fingerprint is
+        for identity including prior values (e.g. artifact provenance)."""
         import hashlib
 
         h = hashlib.sha1()
-        h.update(",".join(self.names).encode())
-        for arr in (
-            self.is_lognormal,
-            self.is_constant,
-            self.is_truncated,
-            self.is_kumaraswamy,
-            self.prior_mu,
-            self.prior_prec,
-            self.const_value,
-            self.trunc_a,
-            self.trunc_b,
-            self.zmin,
-            self.zmax,
-        ):
+        h.update(self.structural_fingerprint().encode())
+        for arr in (self.prior_mu, self.prior_prec):
             h.update(np.ascontiguousarray(arr).tobytes())
-        h.update(repr(self.dep_sites).encode())
-        h.update(repr(self.topo_order).encode())
-        h.update(
-            repr(
-                (
-                    self.local_slice,
-                    self.global_cond_slice,
-                    self.global_slice,
-                    self.constant_slice,
-                )
-            ).encode()
-        )
         return h.hexdigest()
 
     def prior_q(self):

@@ -617,17 +617,22 @@ class Training:
         self._priors = AttrDict(
             (k, jnp.asarray(v)) for k, v in self.program.runtime_priors().items()
         )
+        # On a hit, a previous fold/node already compiled this exact
+        # structural configuration: its jitted steps close over a
+        # functionally identical model / program / optimiser (all
+        # hyperparameters are in the key; fold data and priors enter as
+        # arguments), so they are reused verbatim.
         key = self._steps_cache_key()
         cached = steps_cache_get(key)
         if cached is None:
-            # A cache hit means a previous fold/node already compiled this
-            # exact structural configuration: its jitted steps close over a
-            # functionally identical model / program / optimiser (all
-            # hyperparameters are in the key; fold data and priors enter as
-            # arguments), so they are reused verbatim.
             cached = self._build_steps_uncached()
             steps_cache_put(key, cached)
         train_jit, eval_jit = cached
+        # The (possibly shared) jit objects, for tools that lower/inspect the
+        # compiled step (tools/scaling_model.py) — the ambient-mesh wrapper
+        # exposes its inner jit as `._jitted`.
+        self._train_step_jit = getattr(train_jit, "_jitted", train_jit)
+        self._eval_split_jit = getattr(eval_jit, "_jitted", eval_jit)
         priors = self._priors
         # External signatures stay priors-free; each instance binds its own.
         self._train_epoch = lambda p, o, k, s, t: train_jit(p, o, k, s, t, priors)
@@ -681,6 +686,7 @@ class Training:
             with parallel.use_mesh(self.mesh):
                 return fn(*a, **k)
 
+        wrapped._jitted = fn
         return wrapped
 
     # ------------------------------------------------------------------- eval

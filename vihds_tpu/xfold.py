@@ -389,6 +389,7 @@ class VmapXval:
                 (k, jnp.asarray(np.stack([s[k] for s in fold_stacks])))
                 for k in fold_stacks[0]
             )
+            trained = list(alive)  # folds that actually trained this dispatch
             params_v, opt_v, keys_v, elbos_v = self._train_v(
                 params_v, opt_v, keys_v, stacks_v, times, self._priors
             )
@@ -398,12 +399,14 @@ class VmapXval:
                     print("Fold %d: ELBO = nan, freezing this fold." % (f + 1))
                     alive[f] = False
             epoch = end_epoch
-            # one batched dispatch trains every fold at once; charge each
-            # fold the amortised share so the counters stay comparable to
-            # the sequential driver's per-fold times
-            per_fold_elapsed = (time.time() - start) / F
+            # one batched dispatch trains every live fold at once; charge
+            # each of them the amortised share (frozen folds accrue nothing,
+            # matching the sequential driver's per-fold abort) so the
+            # counters stay comparable to the sequential driver's times
+            per_fold_elapsed = (time.time() - start) / max(1, sum(trained))
             for f in range(F):
-                log_datas[f].total_train_time += per_fold_elapsed
+                if trained[f]:
+                    log_datas[f].total_train_time += per_fold_elapsed
             if np.mod(epoch, args.test_epoch) == 0 and any(alive):
                 # mirror Training.run exactly: the eval keys derive from each
                 # fold's POST-training carried key (key, sub = split(key);
@@ -526,15 +529,21 @@ def run_all_folds(args, settings):
         # collectives)
         fold_mesh = make_fold_mesh(args.folds)
         if fold_mesh is None:
-            # no device count > 1 divides folds: the sequential driver can
-            # still use every device via its (data, sample) mesh — running
-            # the batched program here would degrade multi-device to 1 chip
-            print(
-                "vmap_folds: falling back to sequential folds "
-                "(no device count > 1 divides folds=%d; sequential folds "
-                "shard over the (data, sample) mesh)" % args.folds
-            )
-            return None
+            if len(jax.devices()) > 1:
+                # no device count > 1 divides folds: the sequential driver
+                # can still use every device via its (data, sample) mesh —
+                # running the batched program here would degrade
+                # multi-device to 1 chip
+                print(
+                    "vmap_folds: falling back to sequential folds "
+                    "(no device count > 1 divides folds=%d; sequential folds "
+                    "shard over the (data, sample) mesh)" % args.folds
+                )
+                return None
+            # single device (the one-chip TPU host): no (data, sample) mesh
+            # exists either, so the batched program's dispatch-batching win
+            # still applies — run it unsharded
+            print("vmap_folds: single device; running the batched program unsharded")
         print("Fold mesh: %d folds sharded over %d devices"
               % (args.folds, fold_mesh.shape["fold"]))
     try:
