@@ -57,6 +57,39 @@ def test_graph_staging(tmp_path):
     assert [n.name for n in stages[1]] == ["down"]
 
 
+def test_node_args_expose_driver_features(tmp_path):
+    """Graph-node YAML reaches every driver feature: folds / vmap_folds /
+    mesh / dreg / heldout parse through the run_xval parser per node."""
+    doc = {
+        "nodes": {
+            "a": {
+                "spec": spec("dr_constant_one.yaml"),
+                "experiment": "a",
+                "folds": 2,
+                "vmap_folds": True,
+                "mesh": "auto",
+                "dreg": True,
+            },
+            "b": {
+                "spec": spec("dr_constant_one.yaml"),
+                "experiment": "b",
+                "heldout": "R33S32_Y81C76",
+                "mesh_data": 2,
+                "mesh_sample": 4,
+            },
+        },
+        "edges": [],
+    }
+    path = tmp_path / "graph_features.yaml"
+    path.write_text(yaml.dump(doc))
+    g = ig.create_inference_graph(str(path), "tf")
+    a = g["a"].args
+    assert a.folds == 2 and a.vmap_folds is True and a.mesh == "auto" and a.dreg is True
+    b = g["b"].args
+    assert b.heldout == "R33S32_Y81C76" and b.mesh_data == 2 and b.mesh_sample == 4
+    assert b.vmap_folds is False
+
+
 def test_propagate_params_rule(tmp_path):
     """mean(mu) + pooled precision -> downstream LogNormal prior
     (parity: vihds/run_inference_graph.py:28-67)."""

@@ -27,16 +27,29 @@ _NODE_ARG_KEYS = (
     "test_epoch",
     "plot_epoch",
     "gpu",
+    "folds",
+    "precision_hidden_layers",
+    "checkpoint_epoch",
+    "mesh",
+    "mesh_data",
+    "mesh_sample",
 )
+
+# store_true CLI flags: a truthy YAML value turns the flag on.  vmap_folds /
+# mesh make the batched-fold and sharded drivers first-class in graph runs.
+_NODE_FLAG_KEYS = ("vmap_folds", "dreg", "verbose")
 
 
 def process_node_args(name, yamlargs, graph_name):
     """Re-parse the node's embedded CLI args through the run_xval parser
-    (parity: vihds/inference_graph.py:18-62)."""
+    (parity: vihds/inference_graph.py:18-62; extended with folds/vmap_folds/
+    mesh/dreg/checkpoint keys so every driver feature is reachable per node)."""
     argarr = []
-    with_split = "split" in yamlargs
-    if with_split:
+    with_split = "split" in yamlargs or "heldout" in yamlargs
+    if "split" in yamlargs:
         argarr.append("--split=" + str(yamlargs["split"]))
+    elif "heldout" in yamlargs:
+        argarr.append("--heldout=" + str(yamlargs["heldout"]))
     if "spec" in yamlargs:
         argarr.append(yamlargs["spec"])
     else:
@@ -48,6 +61,9 @@ def process_node_args(name, yamlargs, graph_name):
     for key in _NODE_ARG_KEYS:
         if key in yamlargs:
             argarr.append("--%s=%s" % (key, yamlargs[key]))
+    for key in _NODE_FLAG_KEYS:
+        if yamlargs.get(key):
+            argarr.append("--" + key)
     parser = rxval.create_parser(with_split)
     return parser.parse_args(argarr)
 
