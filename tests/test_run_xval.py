@@ -219,6 +219,40 @@ def test_vmap_folds_fallback_semantics(capsys, tmp_results):
     assert "no device count > 1 divides folds=11" in capsys.readouterr().out
 
 
+def test_vmap_folds_mesh_auto_single_device(capsys, tmp_results, monkeypatch):
+    """--vmap_folds --mesh auto on a SINGLE-device host (the real one-chip
+    TPU) must run the batched program unsharded — regression: the 'Fold
+    mesh' banner dereferenced the None fold_mesh and crashed."""
+    import jax
+
+    from tests.conftest import make_args
+    from vihds_tpu import xfold
+    from vihds_tpu.config import Config
+
+    one = jax.devices()[:1]
+    monkeypatch.setattr(xfold.jax, "devices", lambda: one)
+    seen = {}
+
+    class StubRunner:
+        def __init__(self, args, settings, fold_mesh=None):
+            seen["fold_mesh"] = fold_mesh
+            self.pairs = [None] * args.folds
+
+        def run(self):
+            return [None] * len(self.pairs)
+
+    monkeypatch.setattr(xfold, "VmapXval", StubRunner)
+    args = make_args(spec("dr_constant_one.yaml"), folds=2)
+    args.mesh = "auto"
+    settings = Config(args)
+    out = xfold.run_all_folds(args, settings)
+    assert out is not None and len(out) == 2
+    assert seen["fold_mesh"] is None
+    printed = capsys.readouterr().out
+    assert "single device; running the batched program unsharded" in printed
+    assert "Fold mesh:" not in printed
+
+
 def test_vmap_folds_nan_freeze(capsys, tmp_results):
     """A fold whose fused train dispatch returns non-finite ELBOs is frozen
     (mirroring the sequential driver's per-fold NaN abort): later dispatches

@@ -1,0 +1,231 @@
+"""Simulation-based parameter-recovery study: simulate -> infer -> compare.
+
+The gold-standard correctness check for an inference framework, impossible in
+the reference (it has no data simulator and never persists weights): draw a
+KNOWN ground truth from the model's own (tempered) prior, simulate a
+plate-reader dataset from it (vihds_tpu/simulate.py), train the full amortised
+VI stack on that dataset, then measure how well the recovered posterior covers
+the truth —
+
+  * per-site posterior z-scores  z = (q_mu - truth) * sqrt(q_prec)
+    (log-space for LogNormal sites), with 95% credible-interval coverage;
+  * across-series correlation between the amortised per-series posterior
+    means and the per-series truth for LOCAL sites (identifiability of the
+    amortisation itself);
+  * posterior-predictive coverage: the fraction of observed points inside
+    mu +- 1.96 sigma of the importance-weighted predictive distribution.
+
+Writes REPORT.md + recovery.npz into --outdir.
+
+Usage (the study regime; takes ~a minute on the TPU chip, longer on CPU):
+
+  python tools/recovery_study.py --epochs 1000 --outdir reports/recovery_study
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p.add_argument("--spec", default=os.path.join(here, "specs", "dr_constant_one.yaml"))
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--test_epoch", type=int, default=50)
+    p.add_argument("--train_samples", type=int, default=200)
+    p.add_argument("--test_samples", type=int, default=1000)
+    p.add_argument("--n_per_device", type=int, default=48)
+    p.add_argument("--sigma_scale", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--folds", type=int, default=4, help="train on (folds-1)/folds of the data")
+    p.add_argument("--outdir", default=os.path.join(here, "reports", "recovery_study"))
+    return p.parse_args()
+
+
+def site_comparisons(program, q_mu, q_prec, truth_theta):
+    """Per-site z-scores of the truth under the recovered posterior.
+
+    Normal-family sites only (LogNormal scores in log space — the (mu, prec)
+    the encoder emits parameterise the underlying normal).  Returns
+    [(name, tier, z[L] or z[()], corr-or-None), ...] for non-constant sites."""
+    rows = []
+    n_loc = program.local_slice.stop - program.local_slice.start
+    n_gc = program.global_cond_slice.stop - program.global_cond_slice.start
+    for i, name in enumerate(program.names):
+        if bool(program.is_constant[i]) or bool(program.is_kumaraswamy[i]):
+            continue
+        t = truth_theta[:, i].astype(np.float64)
+        t = np.log(np.maximum(t, 1e-30)) if program.is_lognormal[i] else t
+        mu = q_mu[:, i].astype(np.float64)
+        sd = 1.0 / np.sqrt(np.maximum(q_prec[:, i].astype(np.float64), 1e-30))
+        if i < n_loc:
+            tier = "local"
+            z = (mu - t) / sd
+            corr = float(np.corrcoef(mu, t)[0, 1]) if np.ptp(t) > 0 else None
+        elif i < n_loc + n_gc:
+            tier = "global_cond"
+            z = np.array([(mu.mean() - t[0]) / max(sd.mean(), 1e-30)])
+            corr = None
+        else:
+            tier = "global"
+            z = np.array([(mu.mean() - t[0]) / max(sd.mean(), 1e-30)])
+            corr = None
+        rows.append((name, tier, z, corr))
+    return rows
+
+
+def main():
+    args = parse()
+    os.makedirs(args.outdir, exist_ok=True)
+    os.environ.setdefault("INFERENCE_RESULTS_DIR", "/tmp/vihds_tpu_results")
+
+    from vihds_tpu import simulate as sim
+    from vihds_tpu.config import Config
+    from vihds_tpu.data.datasets import build_datasets
+    from vihds_tpu.prob import ParamProgram, parse_parameters
+    from vihds_tpu.profiling import enable_compile_cache
+    from vihds_tpu.run_xval import create_parser
+    from vihds_tpu.training import Training
+    from vihds_tpu.vae import VAE
+
+    enable_compile_cache()
+
+    print("=== 1/3 simulate (truth ~ tempered prior, sigma_scale=%.2f) ===" % args.sigma_scale)
+    sim_args = sim.create_parser().parse_args(
+        [
+            args.spec,
+            "--output_dir", args.outdir,
+            "--name", "synthetic",
+            "--seed", str(args.seed),
+            "--sigma_scale", str(args.sigma_scale),
+            "--n_per_device", str(args.n_per_device),
+        ]
+    )
+    out = sim.simulate(sim_args)
+    program_fp = out.program
+
+    print("=== 2/3 train on the synthetic spec ===")
+    targs = create_parser(True).parse_args([out.spec])
+    targs.seed = args.seed
+    targs.epochs = args.epochs
+    targs.test_epoch = args.test_epoch
+    targs.plot_epoch = 0
+    targs.train_samples = args.train_samples
+    targs.test_samples = args.test_samples
+    targs.folds = args.folds
+    targs.split = 1
+    settings = Config(targs)
+    settings.trainer = None
+    data = build_datasets(targs, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    training = Training(targs, settings, data, program, model)
+    results = training.run()
+    assert results is not None, "training produced no results (NaN abort?)"
+
+    print("=== 3/3 evaluate on ALL series; compare to truth ===")
+    import jax
+
+    full_host = data.train.dataset.select(np.arange(len(data.train.dataset)))
+    merged, _ = training.evaluate(
+        training.final_params, full_host, args.test_samples,
+        jax.random.PRNGKey(args.seed + 1), with_theta=False,
+    )
+    truth = np.load(out.truth, allow_pickle=True)
+    rows = site_comparisons(program, merged["q_mu"], merged["q_prec"], truth["theta"])
+
+    obs = full_host.observations
+    lo = merged["iw_predict_mu"] - 1.96 * merged["iw_predict_std"]
+    hi = merged["iw_predict_mu"] + 1.96 * merged["iw_predict_std"]
+    pred_cover = float(np.mean((obs >= lo) & (obs <= hi)))
+
+    all_z = np.concatenate([np.atleast_1d(z) for _, _, z, _ in rows])
+    local_rows = [r for r in rows if r[1] == "local"]
+    summary = dict(
+        median_abs_z=float(np.median(np.abs(all_z))),
+        coverage95=float(np.mean(np.abs(all_z) < 1.96)),
+        predictive_coverage95=pred_cover,
+        median_local_corr=float(
+            np.median([c for _, _, _, c in local_rows if c is not None])
+        ) if local_rows else None,
+        val_elbo=float(results.elbo),
+        epochs=args.epochs,
+        seed=args.seed,
+        sigma_scale=args.sigma_scale,
+        n_series=int(obs.shape[0]),
+    )
+
+    np.savez(
+        os.path.join(args.outdir, "recovery.npz"),
+        q_mu=merged["q_mu"],
+        q_prec=merged["q_prec"],
+        truth_theta=truth["theta"],
+        theta_names=np.array(program.names, dtype=object),
+        iw_predict_mu=merged["iw_predict_mu"],
+        iw_predict_std=merged["iw_predict_std"],
+        observations=obs,
+        **{k: v for k, v in summary.items() if v is not None},
+    )
+
+    lines = [
+        "# Parameter-recovery study (simulate -> infer -> compare)",
+        "",
+        "Spec `%s`; truth drawn from the tempered prior (sigma_scale=%.2f, seed=%d);"
+        % (os.path.basename(args.spec), args.sigma_scale, args.seed),
+        "%d synthetic series; trained %d epochs (K_train=%d, K_eval=%d, %d/%d split)."
+        % (obs.shape[0], args.epochs, args.train_samples, args.test_samples,
+           args.folds - 1, args.folds),
+        "Pipeline: vihds_tpu/simulate.py -> the standard training stack -> "
+        "posterior vs `synthetic_truth.npz`.",
+        "",
+        "## Headline",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        "| median abs z (truth under recovered posterior) | %.2f |" % summary["median_abs_z"],
+        "| 95%% credible-interval coverage of truth | %.1f%% |" % (100 * summary["coverage95"]),
+        "| posterior-predictive 95%% coverage of data | %.1f%% |"
+        % (100 * summary["predictive_coverage95"]),
+        "| median across-series corr(q_mu, truth), local sites | %s |"
+        % ("%.3f" % summary["median_local_corr"] if summary["median_local_corr"] is not None else "n/a"),
+        "| final val IWAE-ELBO | %.1f |" % summary["val_elbo"],
+        "",
+        "z = (q_mu - truth) * sqrt(q_prec), log-space for LogNormal sites.",
+        "",
+        "## Per-site",
+        "",
+        "| site | tier | median z | median abs z | cover95 | corr(series) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, tier, z, corr in rows:
+        z = np.atleast_1d(z)
+        lines.append(
+            "| %s | %s | %+.2f | %.2f | %.0f%% | %s |"
+            % (
+                name,
+                tier,
+                float(np.median(z)),
+                float(np.median(np.abs(z))),
+                100 * float(np.mean(np.abs(z) < 1.96)),
+                "%.3f" % corr if corr is not None else "—",
+            )
+        )
+    lines += [
+        "",
+        "Reproduce: `python tools/recovery_study.py --epochs %d --seed %d "
+        "--sigma_scale %s --n_per_device %d --outdir %s`"
+        % (args.epochs, args.seed, args.sigma_scale, args.n_per_device, args.outdir),
+        "",
+    ]
+    with open(os.path.join(args.outdir, "REPORT.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -544,8 +544,9 @@ def run_all_folds(args, settings):
             # exists either, so the batched program's dispatch-batching win
             # still applies — run it unsharded
             print("vmap_folds: single device; running the batched program unsharded")
-        print("Fold mesh: %d folds sharded over %d devices"
-              % (args.folds, fold_mesh.shape["fold"]))
+        else:
+            print("Fold mesh: %d folds sharded over %d devices"
+                  % (args.folds, fold_mesh.shape["fold"]))
     try:
         runner = VmapXval(args, settings, fold_mesh=fold_mesh)
     except UnsupportedVmapXval as e:
