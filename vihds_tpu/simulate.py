@@ -35,13 +35,20 @@ spec and compare the recovered posterior against ``<name>_truth.npz``
 CLI::
 
   python -m vihds_tpu.simulate <spec.yaml> --output_dir DIR [--name synthetic]
-      [--seed 0] [--sigma_scale 1.0] [--n_per_device N]
+      [--seed 0] [--sigma_scale 1.0] [--n_per_device N] [--max_scaled X]
 
 ``--sigma_scale s`` tempers the prior for the TRUTH draw only (normal-family
 sites sample with sigma*s): the headline specs put deliberately wide priors
 on rate constants (sigma up to 3 in log space), where a full-width draw is
 often dynamically degenerate; s<1 keeps the truth in the scientifically
 plausible bulk while the trained model still uses the spec's own priors.
+``--max_scaled X`` additionally conditions the truth draw on the OBSERVABLE
+regime: draws whose noiseless scaled trajectories peak above X are rejected
+and redrawn (key folded per attempt).  An unconditioned joint draw over ~30+
+wide prior sites is frequently dynamically extreme (measured: a seed-0
+sigma_scale=0.5 dr_constant_one draw peaks at 280 in units where the real
+data peaks at 1.0), which puts the synthetic dataset far outside the regime
+any fixed architecture/learning-rate pairing is tuned for.
 """
 
 import argparse
@@ -76,6 +83,14 @@ def create_parser():
         type=int,
         default=None,
         help="Resample the design to N series per device (default: keep the source design)",
+    )
+    parser.add_argument(
+        "--max_scaled",
+        type=float,
+        default=None,
+        help="Condition the truth draw on the observable regime: redraw (up to 100x) "
+        "until the noiseless scaled trajectories peak at or below this bound "
+        "(real scaled data peaks at 1.0 by construction; default: accept any draw)",
     )
     # Config._tidy_args reads these training-loop fields; they are inert here.
     parser.set_defaults(epochs=0, test_epoch=0, plot_epoch=0)
@@ -173,7 +188,8 @@ def simulate_observations(settings, program, theta_clipped, devices, treatments,
     else:
         eps = jax.random.normal(k_noise, x_predict.shape, x_predict.dtype) / jnp.sqrt(precisions)
     obs = np.asarray(x_predict + eps)[:, 0]  # [L, S, T]
-    return obs, params_dec, np.asarray(x_predict)[:, 0]
+    precisions = np.asarray(jnp.broadcast_to(precisions, x_predict.shape))[:, 0]
+    return obs, params_dec, np.asarray(x_predict)[:, 0], precisions
 
 
 def write_csv(path, settings, devices, treatments, times, raw_obs):
@@ -235,14 +251,29 @@ def simulate(args):
     if args.n_per_device:
         devices, treatments = resample_design(devices, treatments, args.n_per_device, args.seed)
 
-    key = jax.random.PRNGKey(args.seed)
-    k_theta, k_sim = jax.random.split(key)
-    theta, theta_clipped = sample_truth_theta(
-        program, devices, k_theta, sigma_scale=args.sigma_scale
-    )
-    obs, params_dec, x_noiseless = simulate_observations(
-        settings, program, theta_clipped, devices, treatments, times, k_sim
-    )
+    base_key = jax.random.PRNGKey(args.seed)
+    max_attempts = 100 if args.max_scaled else 1
+    for attempt in range(max_attempts):
+        key = jax.random.fold_in(base_key, attempt) if attempt else base_key
+        k_theta, k_sim = jax.random.split(key)
+        theta, theta_clipped = sample_truth_theta(
+            program, devices, k_theta, sigma_scale=args.sigma_scale
+        )
+        obs, params_dec, x_noiseless, truth_prec = simulate_observations(
+            settings, program, theta_clipped, devices, treatments, times, k_sim
+        )
+        peak = float(np.max(np.abs(x_noiseless)))
+        if not args.max_scaled or peak <= args.max_scaled:
+            break
+        print(
+            "simulate: draw %d rejected (noiseless peak %.1f > max_scaled %.1f)"
+            % (attempt, peak, args.max_scaled)
+        )
+    else:
+        raise SystemExit(
+            "simulate: no in-regime truth draw in %d attempts; raise --max_scaled "
+            "or lower --sigma_scale" % max_attempts
+        )
 
     # Source-like units: scale by the per-signal max of the SOURCE data (the
     # same statistic the default pipeline normalises by).  The derived spec
@@ -271,9 +302,12 @@ def simulate(args):
         times=times,
         observations=obs,
         x_noiseless=x_noiseless,
+        precisions=truth_prec,
         scales=np.asarray(scales, np.float64),
         seed=args.seed,
         sigma_scale=args.sigma_scale,
+        truth_attempt=attempt,
+        noiseless_peak=float(np.max(np.abs(x_noiseless))),
     )
     import jax.tree_util as jtu
 
