@@ -69,6 +69,59 @@ def test_simulate_roundtrip(tmp_path, tmp_results):
     assert not np.allclose(truth["x_noiseless"], out.observations)
 
 
+def test_simulate_max_scaled(tmp_path, tmp_results):
+    """--max_scaled conditions the truth draw on the observable regime via
+    BLOCKED rejection (shared global blocks against a probe dataset, then
+    per-series local blocks): the unconditioned seed-1 draw peaks at ~220x
+    the data scale, and a joint all-series rejection measured 0/100
+    acceptance at this sigma_scale."""
+    out = _simulate(tmp_path, max_scaled=2.0)
+    truth = np.load(out.truth, allow_pickle=True)
+    assert float(truth["probe_peak"]) <= 2.0
+    assert float(truth["noiseless_peak"]) <= 2.0
+    assert int(truth["truth_attempt"]) >= 1, "shared-block rejection engaged"
+    per_series = np.max(np.abs(truth["x_noiseless"]), axis=(1, 2))
+    assert (per_series <= 2.0).all()
+    # local redraws must not break the tier sharing: global sites still share
+    # ONE truth value across every series
+    g = out.program.global_slice
+    np.testing.assert_array_equal(
+        truth["theta"][:, g],
+        np.broadcast_to(truth["theta"][0:1, g], truth["theta"][:, g].shape),
+    )
+
+
+def test_calibrate_shared_center(tmp_path, tmp_results):
+    """Gradient calibration of the shared-block truth center: descending the
+    differentiable generative decode moves the probe peak from the prior
+    center's ~6x-the-data-scale down to the requested target, touching only
+    the shared sites."""
+    import jax
+
+    from vihds_tpu import simulate as sim
+    from vihds_tpu.config import Config
+    from vihds_tpu.prob import ParamProgram, parse_parameters
+
+    args = sim.create_parser().parse_args(
+        [spec("dr_constant_one.yaml"), "--output_dir", str(tmp_path)]
+    )
+    settings = Config(args)
+    program = ParamProgram(parse_parameters(settings.params))
+    devices, treatments, times = sim.load_design(settings)
+    devices, treatments = sim.resample_design(devices, treatments, 6, 1)
+    _, _, decode = sim.make_decoder(
+        settings, program, devices, treatments, times, jax.random.PRNGKey(0),
+        eval_mode=False,
+    )
+    center, peak = sim.calibrate_shared_center(
+        program, len(devices), lambda c: decode(c)[0], 0.5, 1.0, steps=120
+    )
+    assert 0.5 <= peak <= 2.0, "calibration reached the data scale from ~6x"
+    assert (center[program.local_slice] == 0).all()
+    assert (center[program.constant_slice] == 0).all()
+    assert np.abs(center[program.global_slice]).max() > 0
+
+
 def test_simulate_trains(tmp_path, tmp_results):
     """End-to-end: a model trains on the synthetic spec with finite ELBO."""
     out = _simulate(tmp_path)

@@ -41,6 +41,22 @@ def parse():
     p.add_argument("--test_samples", type=int, default=1000)
     p.add_argument("--n_per_device", type=int, default=48)
     p.add_argument("--sigma_scale", type=float, default=0.5)
+    p.add_argument(
+        "--max_scaled",
+        type=float,
+        default=2.0,
+        help="Condition the truth draw on the observable regime: redraw until the "
+        "noiseless scaled trajectories peak at or below this (real data peaks at "
+        "1.0 by construction); 0 disables the conditioning",
+    )
+    p.add_argument(
+        "--calibrate_target",
+        type=float,
+        default=1.0,
+        help="Gradient-calibrate the shared-block truth center to this probe peak "
+        "before drawing (the dr_constant prior-predictive CENTER peaks at 6x the "
+        "data scale, so rejection alone cannot reach the data regime); 0 disables",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--folds", type=int, default=4, help="train on (folds-1)/folds of the data")
     p.add_argument("--outdir", default=os.path.join(here, "reports", "recovery_study"))
@@ -105,6 +121,8 @@ def main():
             "--sigma_scale", str(args.sigma_scale),
             "--n_per_device", str(args.n_per_device),
         ]
+        + (["--max_scaled", str(args.max_scaled)] if args.max_scaled else [])
+        + (["--calibrate_target", str(args.calibrate_target)] if args.calibrate_target else [])
     )
     out = sim.simulate(sim_args)
     program_fp = out.program
@@ -175,8 +193,23 @@ def main():
     lines = [
         "# Parameter-recovery study (simulate -> infer -> compare)",
         "",
-        "Spec `%s`; truth drawn from the tempered prior (sigma_scale=%.2f, seed=%d);"
+        "Spec `%s`; truth drawn from the tempered prior (sigma_scale=%.2f, seed=%d),"
         % (os.path.basename(args.spec), args.sigma_scale, args.seed),
+        "conditioned on the observable regime%s by blocked rejection (noiseless "
+        "scaled peak %.2f <= max_scaled %.1f; shared draw accepted on attempt "
+        "%d, %d local redraw rounds; real data peaks at 1.0);"
+        % (
+            " around a gradient-calibrated shared center (probe peak %.2f, "
+            "target %.1f — the spec's prior-predictive center sits at 6x the "
+            "data scale)" % (float(truth["calibrated_peak"]), args.calibrate_target)
+            if "calibrated_peak" in truth
+            else "",
+            float(truth["noiseless_peak"]), args.max_scaled,
+            int(truth["truth_attempt"]), int(truth["local_rounds"]),
+        )
+        if args.max_scaled
+        else "with NO regime conditioning (noiseless scaled peak %.2f; real data "
+        "peaks at 1.0);" % float(truth["noiseless_peak"]),
         "%d synthetic series; trained %d epochs (K_train=%d, K_eval=%d, %d/%d split)."
         % (obs.shape[0], args.epochs, args.train_samples, args.test_samples,
            args.folds - 1, args.folds),
@@ -217,9 +250,23 @@ def main():
         )
     lines += [
         "",
+        "## Reading the table",
+        "",
+        "Global-tier sites are constrained by every series jointly, so |z| < 1.96",
+        "with high cover95 is the expected signature of correct inference.  Local",
+        "sites are informed only by their own series through the amortised encoder:",
+        "corr(series) measures whether the encoder genuinely tracks the per-series",
+        "truth, and cover95 exposes the well-documented overconfidence of amortised",
+        "variational posteriors (compare the posterior-predictive coverage, which",
+        "stays calibrated when the fit is good).  For calibrated per-series",
+        "uncertainty, refine the amortised posterior with vihds_tpu.refine (HMC/SMC",
+        "over the same decoder).",
+        "",
         "Reproduce: `python tools/recovery_study.py --epochs %d --seed %d "
-        "--sigma_scale %s --n_per_device %d --outdir %s`"
-        % (args.epochs, args.seed, args.sigma_scale, args.n_per_device, args.outdir),
+        "--sigma_scale %s --max_scaled %s --calibrate_target %s "
+        "--n_per_device %d --outdir %s`"
+        % (args.epochs, args.seed, args.sigma_scale, args.max_scaled,
+           args.calibrate_target, args.n_per_device, args.outdir),
         "",
     ]
     with open(os.path.join(args.outdir, "REPORT.md"), "w") as f:
