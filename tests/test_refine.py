@@ -53,6 +53,27 @@ def test_hmc_refine(setup):
     assert trace[-1] >= trace[0] - 1.0
 
 
+def test_hmc_site_mask_cut_inference(setup):
+    """With a local-sites-only site_mask, HMC moves ONLY the masked sites;
+    every other site keeps its per-chain amortised-q draw (cut inference:
+    shared sites integrated over q)."""
+    program, model, params, batch = setup
+    local_mask = np.zeros(program.n_theta, np.float32)
+    sl = program.local_slice
+    movable = program.is_normal_family & ~program.is_constant
+    local_mask[sl] = movable[sl].astype(np.float32)
+    out = refine.hmc_refine(
+        model, program, params, batch, jax.random.PRNGKey(4),
+        n_chains=6, n_steps=8, n_leapfrog=3, site_mask=jnp.asarray(local_mask),
+    )
+    z, z0 = np.asarray(out.z), np.asarray(out.z_init)
+    frozen = local_mask == 0
+    np.testing.assert_array_equal(z[:, :, frozen], z0[:, :, frozen])
+    moved = np.abs(z[:, :, local_mask > 0] - z0[:, :, local_mask > 0]).max()
+    assert moved > 0, "masked-in local sites never moved"
+    assert np.isfinite(np.asarray(out.theta)).all()
+
+
 def test_smc_refine(setup):
     program, model, params, batch = setup
     out = refine.smc_refine(

@@ -59,6 +59,15 @@ def parse():
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--folds", type=int, default=4, help="train on (folds-1)/folds of the data")
+    p.add_argument(
+        "--refine_chains",
+        type=int,
+        default=64,
+        help="After the amortised comparison, HMC-refine the LOCAL sites per "
+        "series (cut inference: shared sites stay integrated over the amortised "
+        "q) with this many chains and re-measure truth coverage; 0 disables",
+    )
+    p.add_argument("--refine_steps", type=int, default=60)
     p.add_argument("--outdir", default=os.path.join(here, "reports", "recovery_study"))
     return p.parse_args()
 
@@ -162,6 +171,50 @@ def main():
     hi = merged["iw_predict_mu"] + 1.96 * merged["iw_predict_std"]
     pred_cover = float(np.mean((obs >= lo) & (obs <= hi)))
 
+    # --- HMC refinement of the local sites (cut inference) ----------------- #
+    refined_rows, refine_accept, z_refined = [], None, None
+    if args.refine_chains:
+        import jax.numpy as jnp
+
+        from vihds_tpu import refine
+        from vihds_tpu.training import batch_arrays
+
+        print(
+            "=== 3b/3 HMC-refine local sites (%d chains x %d steps, shared "
+            "sites ~ amortised q) ===" % (args.refine_chains, args.refine_steps)
+        )
+        movable = program.is_normal_family & ~program.is_constant
+        local_mask = np.zeros(program.n_theta, np.float32)
+        sl = program.local_slice
+        local_mask[sl] = movable[sl].astype(np.float32)
+        res = refine.hmc_refine(
+            model, program, training.final_params, batch_arrays(full_host),
+            jax.random.PRNGKey(args.seed + 2),
+            n_chains=args.refine_chains, n_steps=args.refine_steps,
+            site_mask=jnp.asarray(local_mask),
+        )
+        z_refined = np.asarray(res.z)  # [L, chains, n_theta]
+        refine_accept = float(np.asarray(res.accept_rate).mean())
+        amortised_cover = {
+            name: 100 * float(np.mean(np.abs(np.atleast_1d(z)) < 1.96))
+            for name, tier, z, _ in rows
+            if tier == "local"
+        }
+        for i in np.flatnonzero(local_mask):
+            name = program.names[i]
+            t = truth["theta"][:, i].astype(np.float64)
+            t = np.log(np.maximum(t, 1e-30)) if program.is_lognormal[i] else t
+            zi = z_refined[:, :, i].astype(np.float64)
+            qlo = np.quantile(zi, 0.025, axis=1)
+            qhi = np.quantile(zi, 0.975, axis=1)
+            cover = 100 * float(np.mean((t >= qlo) & (t <= qhi)))
+            zscore = (zi.mean(axis=1) - t) / np.maximum(zi.std(axis=1), 1e-30)
+            corr = float(np.corrcoef(zi.mean(axis=1), t)[0, 1]) if np.ptp(t) > 0 else None
+            refined_rows.append(
+                (name, amortised_cover.get(name), cover,
+                 float(np.median(np.abs(zscore))), corr)
+            )
+
     all_z = np.concatenate([np.atleast_1d(z) for _, _, z, _ in rows])
     local_rows = [r for r in rows if r[1] == "local"]
     summary = dict(
@@ -177,6 +230,9 @@ def main():
         sigma_scale=args.sigma_scale,
         n_series=int(obs.shape[0]),
     )
+    if refined_rows:
+        summary["refined_local_cover"] = float(np.mean([r[2] for r in refined_rows]))
+        summary["refine_accept"] = refine_accept
 
     np.savez(
         os.path.join(args.outdir, "recovery.npz"),
@@ -187,6 +243,7 @@ def main():
         iw_predict_mu=merged["iw_predict_mu"],
         iw_predict_std=merged["iw_predict_std"],
         observations=obs,
+        **({"z_refined": z_refined} if z_refined is not None else {}),
         **{k: v for k, v in summary.items() if v is not None},
     )
 
@@ -227,6 +284,12 @@ def main():
         "| median across-series corr(q_mu, truth), local sites | %s |"
         % ("%.3f" % summary["median_local_corr"] if summary["median_local_corr"] is not None else "n/a"),
         "| final val IWAE-ELBO | %.1f |" % summary["val_elbo"],
+    ] + (
+        ["| HMC-refined local-site cover95 (mean) | %.1f%% |"
+         % summary["refined_local_cover"]]
+        if "refined_local_cover" in summary
+        else []
+    ) + [
         "",
         "z = (q_mu - truth) * sqrt(q_prec), log-space for LogNormal sites.",
         "",
@@ -248,6 +311,31 @@ def main():
                 "%.3f" % corr if corr is not None else "—",
             )
         )
+    if refined_rows:
+        lines += [
+            "",
+            "## HMC-refined local sites (cut inference: shared sites ~ amortised q)",
+            "",
+            "%d chains x %d steps per series from the amortised start "
+            "(vihds_tpu.refine.hmc_refine with a local-sites mask); mean "
+            "acceptance %.2f.  Truth coverage before vs after refinement:"
+            % (args.refine_chains, args.refine_steps, refine_accept),
+            "",
+            "| site | amortised cover95 | refined cover95 | refined median abs z | refined corr |",
+            "|---|---|---|---|---|",
+        ]
+        for name, am_cov, cov, medz, corr in refined_rows:
+            lines.append(
+                "| %s | %s | %.0f%% | %.2f | %s |"
+                % (
+                    name,
+                    "%.0f%%" % am_cov if am_cov is not None else "—",
+                    cov,
+                    medz,
+                    "%.3f" % corr if corr is not None else "—",
+                )
+            )
+
     lines += [
         "",
         "## Reading the table",
@@ -258,9 +346,14 @@ def main():
         "corr(series) measures whether the encoder genuinely tracks the per-series",
         "truth, and cover95 exposes the well-documented overconfidence of amortised",
         "variational posteriors (compare the posterior-predictive coverage, which",
-        "stays calibrated when the fit is good).  For calibrated per-series",
-        "uncertainty, refine the amortised posterior with vihds_tpu.refine (HMC/SMC",
-        "over the same decoder).",
+        "stays calibrated when the fit is good).  The HMC section separates the",
+        "two possible causes: if refined coverage recovers toward 95%, the gap was",
+        "the amortisation; if it does NOT move despite high acceptance, the exact",
+        "per-series posterior itself sits away from the truth — in a hierarchical",
+        "model, small finite-data biases in the shared sites are compensated by",
+        "the local conditionals, a property of the model/data pairing rather than",
+        "an inference failure (the posterior-predictive coverage is the check",
+        "that the fit itself is calibrated).",
         "",
         "Reproduce: `python tools/recovery_study.py --epochs %d --seed %d "
         "--sigma_scale %s --max_scaled %s --calibrate_target %s "

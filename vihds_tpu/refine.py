@@ -67,10 +67,15 @@ def _normal_logpdf(z, mu, prec):
     return -0.5 * LOG2PI + 0.5 * jnp.log(prec) - 0.5 * prec * (z - mu) ** 2
 
 
-def make_log_joint(model, program, params, batch):
-    """log p(x, z) = log p(x | T(z)) + N(z; prior) summed over sampled sites."""
+def make_log_joint(model, program, params, batch, site_mask=None):
+    """log p(x, z) = log p(x | T(z)) + N(z; prior) summed over sampled sites.
+
+    ``site_mask`` restricts which theta columns contribute the prior term
+    (defaults to every non-constant normal-family site); pass e.g. a
+    local-sites-only mask for cut inference where the frozen sites' values
+    ride in z but are not part of the target."""
     log_lik = make_log_lik(model, program, params, batch)
-    mask = _sampled_mask(program)
+    mask = _sampled_mask(program) if site_mask is None else site_mask
     prior_mu = jnp.asarray(program.prior_mu)
     prior_prec = jnp.asarray(program.prior_prec)
 
@@ -111,23 +116,31 @@ def hmc_refine(
     n_leapfrog=5,
     step_scale=0.05,
     target_accept=0.7,
+    site_mask=None,
 ):
     """HMC over z, one chain per (datapoint, sample) pair, initialised at q.
 
     The mass matrix is the diagonal prior precision, so the per-site step is
     automatically scaled by the prior sigma; ``step_scale`` seeds a per-chain
     step size that is Robbins-Monro-adapted toward ``target_accept`` during
-    the first half of the run.  Returns refined theta samples and diagnostics.
-    """
-    log_joint = make_log_joint(model, program, params, batch)
+    the first half of the run.  Returns refined theta samples and diagnostics
+    (including ``z_init``, the amortised starting draw).
+
+    ``site_mask`` ([n_theta] float, optional) restricts which sites the
+    sampler MOVES; unmasked sites keep their per-chain amortised-q draw.
+    With a local-sites-only mask this is cut inference: locals are refined
+    by HMC per series while the shared sites stay integrated over the
+    amortised posterior q."""
+    log_joint = make_log_joint(model, program, params, batch, site_mask)
     grad_log_joint = jax.grad(lambda z: log_joint(z).sum())
-    mask = _sampled_mask(program)
+    mask = _sampled_mask(program) if site_mask is None else site_mask
     prior_prec = jnp.asarray(program.prior_prec)
     inv_mass = jnp.where(mask > 0, 1.0 / prior_prec, 0.0)
     base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(prior_prec), 0.0)
 
     key, k0 = jax.random.split(key)
     z, _, _ = init_z_from_q(model, program, params, batch, k0, n_chains)
+    z_init = z
     n_warmup = n_steps // 2
 
     def leapfrog(z, p, step):
@@ -176,6 +189,7 @@ def hmc_refine(
     return AttrDict(
         theta=constrain_z(program, z),
         z=z,
+        z_init=z_init,
         accept_rate=n_accept / max(n_steps - n_warmup, 1),
         step_size=jnp.exp(log_eps),
         log_joint=log_joint(z),
