@@ -74,6 +74,34 @@ def test_hmc_site_mask_cut_inference(setup):
     assert np.isfinite(np.asarray(out.theta)).all()
 
 
+def test_hmc_refine_pooled(setup):
+    """Pooled joint HMC: shared sites carry ONE value per chain across every
+    series (the true hierarchical joint), locals vary per series; the tying
+    is exact in the returned samples."""
+    program, model, params, batch = setup
+    K = 4
+    out = refine.hmc_refine_pooled(
+        model, program, params, batch, jax.random.PRNGKey(5),
+        n_chains=K, n_steps=8, n_leapfrog=3,
+    )
+    th = np.asarray(out.theta)
+    assert th.shape == (N, K, program.n_theta)
+    assert np.isfinite(th).all()
+    g = program.global_slice
+    np.testing.assert_array_equal(
+        th[:, :, g], np.broadcast_to(th[0:1, :, g], th[:, :, g].shape)
+    )
+    sl = program.local_slice
+    assert np.ptp(th[:, :, sl], axis=0).max() > 0
+    acc = np.asarray(out.accept_rate)
+    assert acc.shape == (K,)
+    assert (acc >= 0).all() and (acc <= 1).all()
+    const_cols = np.where(program.is_constant)[0]
+    for c in const_cols:
+        np.testing.assert_allclose(th[:, :, c], program.const_value[c], rtol=1e-6)
+    assert np.isfinite(np.asarray(out.log_joint_trace)).all()
+
+
 def test_smc_refine(setup):
     program, model, params, batch = setup
     out = refine.smc_refine(

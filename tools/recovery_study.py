@@ -68,6 +68,15 @@ def parse():
         "q) with this many chains and re-measure truth coverage; 0 disables",
     )
     p.add_argument("--refine_steps", type=int, default=60)
+    p.add_argument(
+        "--pooled_chains",
+        type=int,
+        default=32,
+        help="Also run POOLED joint HMC (one shared-block state per chain "
+        "across all series — the true hierarchical joint) and measure truth "
+        "coverage under it; 0 disables",
+    )
+    p.add_argument("--pooled_steps", type=int, default=300)
     p.add_argument("--outdir", default=os.path.join(here, "reports", "recovery_study"))
     return p.parse_args()
 
@@ -215,6 +224,49 @@ def main():
                  float(np.median(np.abs(zscore))), corr)
             )
 
+    # --- Pooled joint HMC over the full hierarchy -------------------------- #
+    pooled_rows, pooled_accept = [], None
+    z_pooled = None
+    if args.pooled_chains:
+        import jax.numpy as jnp
+
+        from vihds_tpu import refine
+        from vihds_tpu.training import batch_arrays
+
+        print(
+            "=== 3c/3 pooled joint HMC (%d chains x %d steps, one shared "
+            "state per chain) ===" % (args.pooled_chains, args.pooled_steps)
+        )
+        res_p = refine.hmc_refine_pooled(
+            model, program, training.final_params, batch_arrays(full_host),
+            jax.random.PRNGKey(args.seed + 3),
+            devices=full_host.devices,
+            n_chains=args.pooled_chains, n_steps=args.pooled_steps,
+        )
+        pooled_accept = float(np.asarray(res_p.accept_rate).mean())
+        z_pooled = np.asarray(res_p.z)  # [L, chains, n_theta]
+        movable = program.is_normal_family & ~program.is_constant
+        n_loc = program.local_slice.stop - program.local_slice.start
+        n_gc = program.global_cond_slice.stop - program.global_cond_slice.start
+        for i in np.flatnonzero(movable):
+            name = program.names[i]
+            tier = "local" if i < n_loc else ("global_cond" if i < n_loc + n_gc else "global")
+            t = truth["theta"][:, i].astype(np.float64)
+            t = np.log(np.maximum(t, 1e-30)) if program.is_lognormal[i] else t
+            zi = z_pooled[:, :, i].astype(np.float64)
+            qlo = np.quantile(zi, 0.025, axis=1)
+            qhi = np.quantile(zi, 0.975, axis=1)
+            cover = 100 * float(np.mean((t >= qlo) & (t <= qhi)))
+            zscore = (zi.mean(axis=1) - t) / np.maximum(zi.std(axis=1), 1e-30)
+            corr = (
+                float(np.corrcoef(zi.mean(axis=1), t)[0, 1])
+                if tier == "local" and np.ptp(t) > 0
+                else None
+            )
+            pooled_rows.append(
+                (name, tier, cover, float(np.median(np.abs(zscore))), corr)
+            )
+
     all_z = np.concatenate([np.atleast_1d(z) for _, _, z, _ in rows])
     local_rows = [r for r in rows if r[1] == "local"]
     summary = dict(
@@ -233,6 +285,14 @@ def main():
     if refined_rows:
         summary["refined_local_cover"] = float(np.mean([r[2] for r in refined_rows]))
         summary["refine_accept"] = refine_accept
+    if pooled_rows:
+        loc_rows_p = [r for r in pooled_rows if r[1] == "local"]
+        sh_rows_p = [r for r in pooled_rows if r[1] != "local"]
+        if loc_rows_p:
+            summary["pooled_local_cover"] = float(np.mean([r[2] for r in loc_rows_p]))
+        if sh_rows_p:
+            summary["pooled_shared_cover"] = float(np.mean([r[2] for r in sh_rows_p]))
+        summary["pooled_accept"] = pooled_accept
 
     np.savez(
         os.path.join(args.outdir, "recovery.npz"),
@@ -244,6 +304,7 @@ def main():
         iw_predict_std=merged["iw_predict_std"],
         observations=obs,
         **({"z_refined": z_refined} if z_refined is not None else {}),
+        **({"z_pooled": z_pooled} if z_pooled is not None else {}),
         **{k: v for k, v in summary.items() if v is not None},
     )
 
@@ -288,6 +349,12 @@ def main():
         ["| HMC-refined local-site cover95 (mean) | %.1f%% |"
          % summary["refined_local_cover"]]
         if "refined_local_cover" in summary
+        else []
+    ) + (
+        ["| pooled-joint-HMC cover95 (local mean / shared mean) | %.1f%% / %.1f%% |"
+         % (summary.get("pooled_local_cover", float("nan")),
+            summary.get("pooled_shared_cover", float("nan")))]
+        if pooled_rows
         else []
     ) + [
         "",
@@ -334,6 +401,25 @@ def main():
                     medz,
                     "%.3f" % corr if corr is not None else "—",
                 )
+            )
+
+    if pooled_rows:
+        lines += [
+            "",
+            "## Pooled joint HMC (the true hierarchical posterior)",
+            "",
+            "%d chains x %d steps with ONE shared-block state per chain pooled "
+            "across all %d series (refine.hmc_refine_pooled); mean acceptance "
+            "%.2f.  Truth coverage under the exact joint the training objective "
+            "bounds:" % (args.pooled_chains, args.pooled_steps, obs.shape[0], pooled_accept),
+            "",
+            "| site | tier | pooled cover95 | pooled median abs z | corr(series) |",
+            "|---|---|---|---|---|",
+        ]
+        for name, tier, cov, medz, corr in pooled_rows:
+            lines.append(
+                "| %s | %s | %.0f%% | %.2f | %s |"
+                % (name, tier, cov, medz, "%.3f" % corr if corr is not None else "—")
             )
 
     lines += [

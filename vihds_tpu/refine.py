@@ -197,6 +197,173 @@ def hmc_refine(
     )
 
 
+def hmc_refine_pooled(
+    model,
+    program,
+    params,
+    batch,
+    key,
+    devices=None,
+    n_chains=8,
+    n_steps=100,
+    n_leapfrog=10,
+    step_scale=0.02,
+    target_accept=0.7,
+):
+    """Joint HMC over the FULL hierarchy: the exact posterior
+    p(shared, locals | all series), pooling evidence across the dataset.
+
+    ``hmc_refine`` runs one independent chain per (series, sample) pair, so
+    its shared sites are duplicated per series — it targets per-series
+    posteriors (or a cut, with ``site_mask``).  This sampler carries ONE
+    shared-block state per chain: global sites once, global_conditioned
+    sites once per device (``devices``: integer device index per series,
+    default a single device), and a local block per series, so the K chains
+    sample the true hierarchical joint the training objective bounds.
+
+    The state is a pytree ``{g: [K, nG], c: [D, K, nC], l: [L, K, nL]}``;
+    momenta, diagonal prior-precision masses and leapfrog updates act
+    leaf-wise, and accept/reject is ONE Metropolis decision per chain over
+    the whole (nG + D*nC + L*nL)-dimensional state.  Non-normal-family and
+    constant sites keep their amortised draw (same policy as hmc_refine).
+    Returns full-theta samples [L, K, n_theta] plus diagnostics."""
+    L = batch.observations.shape[0]
+    raw_dev = np.zeros(L, np.int32) if devices is None else np.asarray(devices, np.int32)
+    # densify device ids (a subset of devices may appear in this batch)
+    _, dev_np = np.unique(raw_dev, return_inverse=True)
+    dev_np = dev_np.astype(np.int32)
+    dev_idx = jnp.asarray(dev_np)
+    D = int(dev_np.max()) + 1
+
+    gsl, csl, lsl = program.global_slice, program.global_cond_slice, program.local_slice
+    mov = (program.is_normal_family & ~program.is_constant).astype(np.float32)
+    mg, mc, ml = jnp.asarray(mov[gsl]), jnp.asarray(mov[csl]), jnp.asarray(mov[lsl])
+    prior_mu = jnp.asarray(program.prior_mu)
+    prior_prec = jnp.asarray(program.prior_prec)
+    mu_g, pg = prior_mu[gsl], prior_prec[gsl]
+    mu_c, pc = prior_mu[csl], prior_prec[csl]
+    mu_l, pl = prior_mu[lsl], prior_prec[lsl]
+    im = dict(  # inverse mass per leaf (frozen coordinates never move)
+        g=jnp.where(mg > 0, 1.0 / pg, 0.0),
+        c=jnp.where(mc > 0, 1.0 / pc, 0.0),
+        l=jnp.where(ml > 0, 1.0 / pl, 0.0),
+    )
+    bs = dict(  # per-site base step = prior sigma
+        g=jnp.where(mg > 0, 1.0 / jnp.sqrt(pg), 0.0),
+        c=jnp.where(mc > 0, 1.0 / jnp.sqrt(pc), 0.0),
+        l=jnp.where(ml > 0, 1.0 / jnp.sqrt(pl), 0.0),
+    )
+
+    log_lik = make_log_lik(model, program, params, batch)
+    key, k0 = jax.random.split(key)
+    z0, _, _ = init_z_from_q(model, program, params, batch, k0, n_chains)  # [L,K,n]
+    first_row = np.array([np.flatnonzero(dev_np == d)[0] for d in range(D)])
+    state0 = dict(
+        g=z0[0, :, gsl],                                  # [K, nG]
+        c=jnp.stack([z0[r, :, csl] for r in first_row]),  # [D, K, nC]
+        l=z0[:, :, lsl],                                  # [L, K, nL]
+    )
+
+    def assemble(s):
+        z = z0
+        z = z.at[:, :, gsl].set(
+            jnp.where(mg > 0, jnp.broadcast_to(s["g"][None], (L,) + s["g"].shape), z0[:, :, gsl])
+        )
+        z = z.at[:, :, csl].set(jnp.where(mc > 0, s["c"][dev_idx], z0[:, :, csl]))
+        z = z.at[:, :, lsl].set(jnp.where(ml > 0, s["l"], z0[:, :, lsl]))
+        return z
+
+    def log_joint(s):  # [K]: data term pooled over series; each prior counted once
+        ll = log_lik(constrain_z(program, assemble(s))).sum(0)
+        lp_g = (_normal_logpdf(s["g"], mu_g, pg) * mg).sum(-1)
+        lp_c = (_normal_logpdf(s["c"], mu_c, pc) * mc).sum(-1).sum(0)
+        lp_l = (_normal_logpdf(s["l"], mu_l, pl) * ml).sum(-1).sum(0)
+        return ll + lp_g + lp_c + lp_l
+
+    grad_lj = jax.grad(lambda s: log_joint(s).sum())
+    tmap = jax.tree_util.tree_map
+
+    def step_tree(log_eps):  # per-chain step broadcast to each leaf's layout
+        e = jnp.exp(log_eps)
+        return dict(g=e[:, None] * bs["g"], c=e[None, :, None] * bs["c"], l=e[None, :, None] * bs["l"])
+
+    def draw_p(k):
+        kg, kc, kl = jax.random.split(k, 3)
+        return dict(
+            g=jax.random.normal(kg, state0["g"].shape) * jnp.sqrt(pg) * mg,
+            c=jax.random.normal(kc, state0["c"].shape) * jnp.sqrt(pc) * mc,
+            l=jax.random.normal(kl, state0["l"].shape) * jnp.sqrt(pl) * ml,
+        )
+
+    def kinetic(p):  # [K]
+        return 0.5 * (
+            (p["g"] ** 2 * im["g"]).sum(-1)
+            + (p["c"] ** 2 * im["c"]).sum(-1).sum(0)
+            + (p["l"] ** 2 * im["l"]).sum(-1).sum(0)
+        )
+
+    def leapfrog(s, p, st):
+        p = tmap(lambda pi, gi, si: pi + 0.5 * si * gi, p, grad_lj(s), st)
+        for _ in range(n_leapfrog - 1):
+            s = tmap(lambda si, pi, sti, imi: si + sti * imi * pi, s, p, st, im)
+            p = tmap(lambda pi, gi, sti: pi + sti * gi, p, grad_lj(s), st)
+        s = tmap(lambda si, pi, sti, imi: si + sti * imi * pi, s, p, st, im)
+        p = tmap(lambda pi, gi, sti: pi + 0.5 * sti * gi, p, grad_lj(s), st)
+        return s, p
+
+    def select(accept, new, old):
+        return dict(
+            g=jnp.where(accept[:, None], new["g"], old["g"]),
+            c=jnp.where(accept[None, :, None], new["c"], old["c"]),
+            l=jnp.where(accept[None, :, None], new["l"], old["l"]),
+        )
+
+    n_warmup = n_steps // 2
+
+    def one_step(carry, inp):
+        s, log_eps, n_accept = carry
+        key_t, t = inp
+        k_mom, k_acc = jax.random.split(key_t)
+        st = step_tree(log_eps)
+        p = draw_p(k_mom)
+        lj0, ke0 = log_joint(s), kinetic(p)
+        s_new, p_new = leapfrog(s, p, st)
+        lj1, ke1 = log_joint(s_new), kinetic(p_new)
+        log_alpha = jnp.nan_to_num((lj1 - ke1) - (lj0 - ke0), nan=-jnp.inf)
+        alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
+        accept = jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha
+        s = select(accept, s_new, s)
+        adapt = (t < n_warmup).astype(jnp.float32)
+        log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
+        counted = (t >= n_warmup).astype(jnp.float32)
+        return (s, log_eps, n_accept + counted * accept.astype(jnp.float32)), jnp.median(lj0)
+
+    # gradient-scaled initial step, as in hmc_refine, but over the pooled state
+    g0 = grad_lj(state0)
+    st1 = step_tree(jnp.zeros(n_chains))
+    g_scale = jnp.sqrt(
+        ((g0["g"] * st1["g"]) ** 2).sum(-1)
+        + ((g0["c"] * st1["c"]) ** 2).sum(-1).sum(0)
+        + ((g0["l"] * st1["l"]) ** 2).sum(-1).sum(0)
+    )
+    log_eps0 = jnp.log(step_scale) - jnp.log1p(g_scale)
+    keys = jax.random.split(key, n_steps)
+    (s, log_eps, n_accept), lj_trace = jax.lax.scan(
+        one_step, (state0, log_eps0, jnp.zeros(n_chains)), (keys, jnp.arange(n_steps))
+    )
+    z = assemble(s)
+    return AttrDict(
+        theta=constrain_z(program, z),
+        z=z,
+        z_init=z0,
+        state=s,
+        accept_rate=n_accept / max(n_steps - n_warmup, 1),
+        step_size=jnp.exp(log_eps),
+        log_joint=log_joint(s),
+        log_joint_trace=lj_trace,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # SMC
 # --------------------------------------------------------------------------- #
