@@ -23,7 +23,11 @@ os.environ.setdefault("INFERENCE_RESULTS_DIR", "/tmp/vihds_tpu_results")
 
 # Reference (microsoft/vi-hds, torch CPU, solver=midpoint, B=36, K=200):
 # measured on this machine — see BASELINE.md and bench_reference.py.
-REFERENCE_CPU_STEPS_PER_SEC = 0.0920
+# RE-MEASURED round 3 (2026-08-19): 1.93 steps/s (30 steps, 4 threads, idle
+# Xeon @2.10GHz) vs the 0.092 recorded in round 1 — a ~21x denominator
+# correction (environment changed between rounds; the TPU-side numbers were
+# stable throughout).  BASELINE.md "Measured" has the full history.
+REFERENCE_CPU_STEPS_PER_SEC = 1.93
 
 
 def main():

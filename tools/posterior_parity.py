@@ -93,16 +93,44 @@ def run_reference(seed, epochs, out_dir, spec):
 
     ref_datasets.merge_observations = merge_observations
 
+    if os.environ.get("VIHDS_REF_SCORE_SAMPLED"):
+        # EXPLOIT CONTROL (VERDICT r2 #1): the reference scores log q / log p
+        # at the CLIPPED theta (reference vihds/vae.py:34 feeds clipped theta
+        # to the decoder, and training.py:136-137 scores the theta the
+        # forward returns), which admits the runaway -log q exploit once the
+        # encoder pushes q-mass past the +-4 sigma clip bound.  This shim
+        # makes the reference score at the SAMPLED theta — exactly this
+        # repo's semantics (vihds_tpu/vae.py:70-78) — while the decoder still
+        # integrates the clipped value.  Identical whenever clipping is
+        # inactive.  Valid only for specs without device conditioning
+        # (dr_constant_one: device_depth<=1 disables it, so the reference's
+        # conditioned_theta == clipped_theta and swapping it for the sampled
+        # theta changes only the clip in the score).
+        import vihds.vae as ref_vae
+
+        def _forward_score_sampled(self, data, samples, writer=None, epoch=None):
+            u = self.sample_u(len(data.inputs), samples)
+            q = self.encoder(data)
+            theta = q.sample(u, self.device)
+            clipped_theta = self.encoder.p.clip(theta, stddevs=4)
+            result, _conditioned = self.decoder(clipped_theta, data, writer, epoch)
+            return result, theta, q, self.encoder.p
+
+        ref_vae.BaseVAE.forward = _forward_score_sampled
+        print("[posterior_parity] exploit-control shim ACTIVE: log q/log p at sampled theta")
+
     from vihds.config import Config
     from vihds.run_xval import create_parser, run_on_split
 
     args = create_parser(True).parse_args([os.path.join(bench_reference.REFERENCE, "specs", spec)])
     args.seed = seed
     args.epochs = epochs
-    args.test_epoch = 20
+    args.test_epoch = int(os.environ.get("VIHDS_REF_TEST_EPOCH", "20"))
     args.plot_epoch = 0
     args.train_samples = 200
-    args.test_samples = 200  # q moments are encoder outputs; K only adds eval cost
+    # q moments are encoder outputs; K only adds eval cost
+    args.test_samples = int(os.environ.get("VIHDS_REF_TEST_SAMPLES", "200"))
+    args.split = int(os.environ.get("VIHDS_REF_SPLIT", str(args.split)))
     settings = Config(args)
     settings.trainer = None
     _, val_results = run_on_split(args, settings)
