@@ -84,13 +84,26 @@ def main():
     jax.block_until_ready(elbos)
     assert np.isfinite(np.asarray(elbos)).all(), "warmup ELBOs not finite"
 
-    # median over calls — the tunnel adds per-dispatch jitter
+    # Production dispatch pattern (Training.run round 3): dispatches are
+    # PIPELINED — each chunk's ELBO fetch (the NaN check) is deferred one
+    # boundary so it overlaps the next chunk's device execution instead of
+    # serializing a ~30 ms tunnel round-trip between dispatches.  Measure
+    # per-call rates under that pattern (fetch of call i-1 between dispatch
+    # of call i and i+1), median over calls against tunnel jitter.
     rates = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    pending = None
+    t_prev = time.perf_counter()
+    for _ in range(6):
         p, o, key, elbos = epoch_fn(p, o, key, stacks, batch.times)
-        jax.block_until_ready(elbos)
-        rates.append(n_steps / (time.perf_counter() - t0))
+        if pending is not None:
+            assert np.isfinite(np.asarray(pending)).all(), "ELBOs not finite"
+            t_now = time.perf_counter()
+            rates.append(n_steps / (t_now - t_prev))
+            t_prev = t_now
+        pending = elbos
+    jax.block_until_ready(pending)
+    t_now = time.perf_counter()
+    rates.append(n_steps / (t_now - t_prev))
     steps_per_sec = float(np.median(rates))
     vs = steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC if REFERENCE_CPU_STEPS_PER_SEC else None
     print(

@@ -962,6 +962,24 @@ class Training:
                 cands.append(((e - 1) // ckpt_every + 1) * ckpt_every)
             return min(cands)
 
+        # Deferred NaN-abort pipeline: the previous chunk's ELBOs are checked
+        # while the current chunk executes on-device, so the ~30 ms tunnel
+        # round-trip of the fetch rides the device compute instead of
+        # serializing between dispatches (measured: the per-chunk synchronous
+        # fetch was the bulk of the ~10% gap to the device-side asymptote).
+        # Consequence: the abort lags ONE chunk — a NaN chunk's boundary eval
+        # still runs once (on NaN params: its results are NaN, so it never
+        # updates the best-val cache) before the loop exits.  Capability
+        # parity with the reference's per-batch NaN abort
+        # (vihds/training.py:331-333) at chunk granularity.
+        pending_elbos = None
+
+        def _nan_abort(elbos):
+            if elbos is not None and not np.isfinite(np.asarray(elbos)).all():
+                print("Cannot proceed with ELBO = nan. Exiting.")
+                return True
+            return False
+
         while iterating and (epoch < self.args.epochs + 1):
             epoch_start = time.time()
             end_epoch = next_boundary(epoch)
@@ -993,12 +1011,10 @@ class Training:
                 if do_trace:
                     jax.block_until_ready(chunk_elbos)
                     traced = True
-            # NaN abort at chunk granularity (capability parity with
-            # vihds/training.py:331-333 without per-batch device syncs)
-            chunk_elbos = np.asarray(chunk_elbos)
-            if not np.isfinite(chunk_elbos).all():
-                print("Cannot proceed with ELBO = nan. Exiting.")
+            # Check the PREVIOUS chunk now (overlaps this chunk's execution).
+            if _nan_abort(pending_elbos):
                 iterating = False
+            pending_elbos = chunk_elbos
             epoch = end_epoch
             log_data.total_train_time += time.time() - epoch_start
             if iterating and np.mod(epoch, self.args.test_epoch) == 0:
@@ -1009,6 +1025,9 @@ class Training:
             if ckpt_every and ckpt_dir and iterating and np.mod(epoch, ckpt_every) == 0:
                 ckpt.save(ckpt_dir, epoch, params, opt_state, key, extra={"epoch": epoch})
             epoch += 1
+        # Final chunk's deferred check (diagnostic parity: the abort message
+        # still prints when the LAST chunk is the one that went non-finite).
+        _nan_abort(pending_elbos)
         if train_writer is not None:
             train_writer.close()
             valid_writer.close()
