@@ -31,7 +31,9 @@ def execute(args, settings):
             if val_results is not None:
                 xval_merge.add(split_idx, data_pair, val_results)
     print("================================================================")
-    if len(xval_merge.elbo) > 0:
+    if len(xval_merge.elbo) > 0 and settings.trainer is not None:
+        # settings.trainer is None on non-main processes of a --distributed
+        # launch: they train in lockstep but write no artifacts.
         xval_merge.finalize()
         xval_merge.save()
         xval_merge.make_writer()
@@ -39,18 +41,28 @@ def execute(args, settings):
         xval_merge.close_writer()
         xval_merge.mark_completed(args.experiment)
         print("Completed")
-    else:
+    elif len(xval_merge.elbo) == 0:
         print("No results in xval. Exiting...")
 
 
 def main(argv=None):
+    parser = create_parser(False)
+    args = parser.parse_args(argv)
+
+    from vihds_tpu.parallel import multihost
+
+    process_count, process_index = multihost.initialize_from_args(args)
+    if process_count > 1 and getattr(args, "vmap_folds", False):
+        # the vmapped fold driver builds its own fold mesh; under a
+        # multi-process launch every process runs the sequential driver on
+        # the global mesh instead (same decision on all processes: lockstep)
+        print("--vmap_folds is single-process; using the sequential driver")
+        args.vmap_folds = False
     from vihds_tpu.profiling import enable_compile_cache
 
     enable_compile_cache()
-    parser = create_parser(False)
-    args = parser.parse_args(argv)
     settings = Config(args)
-    settings.trainer = Trainer(args, add_timestamp=True)
+    settings.trainer = Trainer(args, add_timestamp=True) if process_index == 0 else None
     execute(args, settings)
 
 

@@ -7,9 +7,14 @@ pipeline feeds each process its own shard of the data axis via
 one used on a single chip (GSPMD inserts the cross-host collectives over
 DCN/ICI).
 
-This module cannot be exercised in this environment (one chip, one host); it
-is covered indirectly by the virtual-device mesh tests
-(tests/test_parallel.py) which validate the sharding program itself.
+Product callers: ``run_xval``/``call_run_xval`` call ``initialize_from_args``
+(``--distributed auto`` on a pod slice; explicit ``HOST:PORT,NPROC,PID`` on
+CPU clusters), build the global mesh with the ordinary ``--mesh`` flags, and
+``Training`` feeds globally-sharded batches / gates artifact writes on
+``is_main()``.  Real pod hardware is unreachable from this environment (one
+chip, one host); the path is exercised by tests/test_multihost.py (2-process
+value/grad match) and tests/test_multihost_cli.py (2-process CLI e2e whose
+artifacts match the single-process run).
 """
 
 import jax
@@ -30,6 +35,60 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             process_id=process_id,
         )
     return jax.process_count(), jax.process_index()
+
+
+def initialize_from_args(args):
+    """Product entry: wire ``--distributed`` (or env) into jax.distributed.
+
+    Accepted values of ``args.distributed`` / ``$VIHDS_DISTRIBUTED``:
+
+    * ``auto`` — ``jax.distributed.initialize()`` with no arguments: on TPU
+      pod slices every worker discovers the coordinator, process count and
+      process id from the TPU environment, so the pod launch is simply
+      ``VIHDS_DISTRIBUTED=auto python -m vihds_tpu.run_xval spec.yaml
+      --mesh auto ...`` run on every host (this is the capability leap over
+      the reference's single-device config, vihds/config.py:161-178).
+    * ``HOST:PORT,NPROC,PID`` — explicit triple for CPU/GPU clusters and the
+      2-process CLI e2e test (tests/test_multihost_cli.py).
+    * ``None``/empty — single-process (no-op).
+
+    Must be called before any other JAX device use.  Returns
+    ``(process_count, process_index)``.
+    """
+    import os
+
+    spec = getattr(args, "distributed", None) or os.environ.get("VIHDS_DISTRIBUTED")
+    if not spec:
+        return 1, 0
+    if spec == "auto":
+        jax.distributed.initialize()
+    else:
+        try:
+            addr, nproc, pid = spec.rsplit(",", 2)
+        except ValueError:
+            raise SystemExit(
+                "--distributed expects 'auto' or 'HOST:PORT,NPROC,PID'; got %r" % spec
+            )
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(nproc), process_id=int(pid)
+        )
+    n, i = jax.process_count(), jax.process_index()
+    print("jax.distributed: process %d of %d (%d local / %d global devices)"
+          % (i, n, jax.local_device_count(), jax.device_count()))
+    return n, i
+
+
+def is_main():
+    """True on the process that owns artifact/TensorBoard writes."""
+    return jax.process_index() == 0
+
+
+def is_multiprocess_mesh(mesh):
+    """True when ``mesh`` spans devices owned by more than one process."""
+    if mesh is None:
+        return False
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
 
 
 def global_mesh(n_data=None, n_sample=None):

@@ -73,6 +73,17 @@ def create_parser(with_split: bool):
         help="Capture a jax.profiler device trace of one post-compile epoch into this directory",
     )
     parser.add_argument(
+        "--distributed",
+        type=str,
+        default=None,
+        help="Multi-process (pod-slice) launch: 'auto' discovers the "
+        "coordinator from the TPU pod environment (run the same command on "
+        "every host), or 'HOST:PORT,NPROC,PID' explicitly for CPU/GPU "
+        "clusters.  Combine with --mesh auto (or --mesh_data/--mesh_sample "
+        "over the GLOBAL device count); process 0 writes all artifacts. "
+        "Env fallback: VIHDS_DISTRIBUTED.",
+    )
+    parser.add_argument(
         "--mesh",
         type=str,
         default="off",
@@ -158,13 +169,21 @@ def run_on_split(args, settings, split=None):
 
 
 def main(argv=None):
+    parser = create_parser(True)
+    args = parser.parse_args(argv)
+
+    # Multi-process first (jax.distributed must precede any backend use),
+    # then the compile cache.
+    from vihds_tpu.parallel import multihost
+
+    _, process_index = multihost.initialize_from_args(args)
     from vihds_tpu.profiling import enable_compile_cache
 
     enable_compile_cache()
-    parser = create_parser(True)
-    args = parser.parse_args(argv)
     settings = Config(args)
-    settings.trainer = Trainer(args, add_timestamp=True)
+    # Artifacts (results dir, TensorBoard, xval set, figures) are written by
+    # process 0 only; the other processes train in lockstep without a trainer.
+    settings.trainer = Trainer(args, add_timestamp=True) if process_index == 0 else None
     data_pair, val_results = run_on_split(args, settings)
 
     if (val_results is not None) and settings.trainer is not None:

@@ -540,6 +540,20 @@ class Training:
         self.model = model
         self.program = program
         self.mesh = mesh
+        # Multi-PROCESS (pod-slice) mode: the mesh spans devices this process
+        # cannot address.  Every process loads the identical dataset and runs
+        # the identical host control flow in lockstep; numpy inputs are
+        # globalized by the jit in_shardings (each process contributes its
+        # addressable shards), outputs come back fully replicated
+        # (out_shardings) so host-side fetches and decisions are uniform.
+        from vihds_tpu.parallel import multihost
+
+        self.multiprocess = multihost.is_multiprocess_mesh(mesh)
+        if self.multiprocess and hasattr(data.train.dataset, "files"):
+            raise NotImplementedError(
+                "merge:false (multi-file) datasets are not supported under "
+                "--distributed yet; drop the flag or merge the dataset"
+            )
 
         p = settings.params
         self.n_batch = min(p.n_batch, data.n_train)
@@ -590,6 +604,13 @@ class Training:
             self.train_path = None
             self.valid_path = None
             self.cache_dir = ".vihds_cache"
+        if self.multiprocess and jax.process_index() != 0:
+            # Non-main processes keep the identical control flow (incl. the
+            # best-val dump/load) but write their scratch cache per-process so
+            # hosts sharing a filesystem never clobber process 0's artifacts.
+            import tempfile
+
+            self.cache_dir = tempfile.mkdtemp(prefix="vihds_cache_p%d_" % jax.process_index())
         self.empty_cache = True
 
         self._build_steps()
@@ -615,7 +636,7 @@ class Training:
         # whose programs differ only in prior values — e.g. inference-graph
         # nodes after posterior->prior propagation — share one executable.
         self._priors = AttrDict(
-            (k, jnp.asarray(v)) for k, v in self.program.runtime_priors().items()
+            (k, self._dev(v)) for k, v in self.program.runtime_priors().items()
         )
         # On a hit, a previous fold/node already compiled this exact
         # structural configuration: its jitted steps close over a
@@ -638,6 +659,46 @@ class Training:
         self._train_epoch = lambda p, o, k, s, t: train_jit(p, o, k, s, t, priors)
         self._eval_split = lambda p, s, t, k, n, w: eval_jit(p, s, t, k, priors, n, w)
 
+    def _dev(self, x):
+        """Host array -> device array for REPLICATED jit inputs.
+        Multi-process: leave it as numpy — jit accepts numpy under a
+        replicated in_sharding (every process passes the identical full
+        array), while a committed single-device array cannot be resharded
+        across processes."""
+        if self.multiprocess:
+            return np.asarray(x)
+        return jnp.asarray(x)
+
+    def _dev_stacked(self, x):
+        """Host array -> device array for the [n_steps/n_chunks, B, ...]
+        batch stacks (rows sharded over 'data').  Multi-process: jit rejects
+        numpy under a non-replicated sharding, so build the global array
+        explicitly — every process holds the identical full stack and
+        contributes its addressable row shards."""
+        if not self.multiprocess:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = np.asarray(x)
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    def _split_key(self, key, num=2):
+        """jax.random.split that also works on replicated GLOBAL key arrays
+        (eager ops on non-fully-addressable arrays raise in multi-process;
+        route the split through a tiny replicated jit instead)."""
+        if not self.multiprocess:
+            return tuple(jax.random.split(key, num))
+        if getattr(self, "_split_jit", None) is None or self._split_num != num:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            self._split_jit = jax.jit(
+                lambda k: tuple(jax.random.split(k, num)), out_shardings=repl
+            )
+            self._split_num = num
+        return self._split_jit(key)
+
     def _build_steps_uncached(self):
         train_epoch, eval_split = make_step_fns(self.model, self.program, self.tx, self.args)
 
@@ -646,6 +707,10 @@ class Training:
 
             repl = NamedSharding(self.mesh, P())
             stacked = NamedSharding(self.mesh, P(None, "data"))
+            # Multi-process: outputs must come back fully replicated so the
+            # host-side fetches (ELBO NaN check, eval merges, best-val
+            # decisions) are addressable and identical on every process.
+            out_sh = {"out_shardings": repl} if self.multiprocess else {}
             # Train: [n_steps, B, ...] batch stacks shard their B rows over
             # 'data'; the latent draw u is constrained to P('data','sample')
             # inside the step (vihds_tpu/parallel.constrain_u), so every
@@ -659,6 +724,7 @@ class Training:
                     # the stacks AttrDict: batch rows (axis 1) over 'data'
                     in_shardings=(repl, repl, repl, stacked, repl, repl),
                     donate_argnums=(0, 1),
+                    **out_sh,
                 )
             )
             # Eval: the big-K split evaluation is sharded the same way —
@@ -669,6 +735,7 @@ class Training:
                     eval_split,
                     in_shardings=(repl, stacked, repl, repl, repl),
                     static_argnames=("n_samples", "with_theta"),
+                    **out_sh,
                 )
             )
         else:
@@ -707,16 +774,16 @@ class Training:
         idx = np.concatenate([np.arange(n), np.zeros(n_chunks * chunk - n, int)])
         idx = idx.reshape(n_chunks, chunk)
         stacks = AttrDict(
-            observations=jnp.asarray(host_data.observations[idx]),
-            inputs=jnp.asarray(host_data.inputs[idx]),
-            dev_1hot=jnp.asarray(host_data.dev_1hot[idx]),
+            observations=self._dev_stacked(host_data.observations[idx]),
+            inputs=self._dev_stacked(host_data.inputs[idx]),
+            dev_1hot=self._dev_stacked(host_data.dev_1hot[idx]),
         )
         if "enc_observations" in host_data:
-            stacks["enc_observations"] = jnp.asarray(host_data.enc_observations[idx])
+            stacks["enc_observations"] = self._dev_stacked(host_data.enc_observations[idx])
         stacked = self._eval_split(
             params,
             stacks,
-            jnp.asarray(host_data.times),
+            self._dev(host_data.times),
             key,
             n_samples,
             with_theta or defer_theta,
@@ -790,7 +857,7 @@ class Training:
         test_start = time.time()
         plot = (self.args.plot_epoch > 0) and (np.mod(epoch, self.args.plot_epoch) == 0)
 
-        k1, k2 = jax.random.split(key)
+        k1, k2 = self._split_key(key)
         # train-split diagnostics never persist theta; skip its transfer
         # unless the weighted-theta figure needs it
         want_theta_plot = bool(getattr(self.settings.params, "theta_columns", None)) and plot
@@ -910,11 +977,26 @@ class Training:
         key, k_init = jax.random.split(key)
         params = self.model.init_params(k_init)
         opt_state = self.tx.init(params)
+        if self.multiprocess:
+            # Deterministic eager init is identical on every process; commit
+            # it as replicated GLOBAL arrays (via host numpy — a committed
+            # local device array cannot be resharded across processes).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            params, opt_state, key = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), repl), (params, opt_state, key)
+            )
 
         # Checkpoint/resume (capability the reference lacks — SURVEY.md §5.4)
         from vihds_tpu import checkpoint as ckpt
 
         ckpt_every = getattr(self.args, "checkpoint_epoch", 0) or 0
+        if self.multiprocess and (ckpt_every or getattr(self.args, "resume_from", None)):
+            raise NotImplementedError(
+                "--checkpoint_epoch/--resume_from under --distributed needs the "
+                "orbax multi-process array handler; not wired yet"
+            )
         ckpt_dir = None
         if self.settings.trainer is not None and (ckpt_every or getattr(self.args, "resume_from", None)):
             held = getattr(self.args, "heldout", None) or "%d_of_%d" % (self.args.split, self.args.folds)
@@ -938,7 +1020,7 @@ class Training:
 
         n_train = self.dataset_pair.n_train
         train_host = self.train_data
-        times = jnp.asarray(train_host.times)
+        times = self._dev(train_host.times)
 
         log_data = TrainingLogData()
         print("---------------------------")
@@ -999,7 +1081,7 @@ class Training:
                     # overhead is ~25x the device compute per epoch otherwise
                     # — see BASELINE.md).
                     stacks = AttrDict(
-                        (k, jnp.asarray(v))
+                        (k, self._dev_stacked(v))
                         for k, v in build_epoch_stacks(
                             train_host, seed, epoch, end_epoch,
                             self.n_batch, n_batches, n_train,
@@ -1018,7 +1100,7 @@ class Training:
             epoch = end_epoch
             log_data.total_train_time += time.time() - epoch_start
             if iterating and np.mod(epoch, self.args.test_epoch) == 0:
-                key, sub = jax.random.split(key)
+                key, sub = self._split_key(key)
                 valid_output = self._evaluate_elbo_and_plot(
                     params, epoch, log_data, train_writer, valid_writer, sub
                 )
