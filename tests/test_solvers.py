@@ -14,7 +14,10 @@ from vihds_tpu.prob import ParamProgram, parse_parameters
 from vihds_tpu.training import batch_arrays
 from vihds_tpu.vae import VAE
 
-SOLVERS = ["modeuler", "modeulerwhile", "midpoint", "rk4", "dopri5", "dopri8"]
+SOLVERS = [
+    "modeuler", "modeulerwhile", "midpoint", "rk4",
+    "dopri5", "dopri8", "bosh3", "adaptive_heun",
+]
 
 
 def _setup():
@@ -69,7 +72,7 @@ def test_adjoint_matches_direct_gradient():
     np.testing.assert_allclose(g1, g2, rtol=5e-2, atol=1e-3)
 
 
-@pytest.mark.parametrize("method", ["dopri5", "dopri8"])
+@pytest.mark.parametrize("method", ["dopri5", "dopri8", "bosh3", "adaptive_heun"])
 def test_adaptive_solvers_are_trainable(method):
     """Gradients flow through the adaptive solvers (reference trains through
     torchdiffeq dopri5/dopri8, vihds/ode.py:75-82; here the reverse pass is

@@ -101,15 +101,57 @@ def _dop853_step(rhs, t, y, h):
     return y_new, err, None
 
 
-_STEPPERS = {"dopri5": (_dopri5_step, 5), "dopri8": (_dop853_step, 8)}
+# ---------------------------------------------------------------------------
+# Bogacki-Shampine 3(2) ("bosh3") and Heun-Euler 2(1) ("adaptive_heun") —
+# the remaining adaptive embedded-RK methods torchdiffeq's passthrough
+# accepts on the reference's solver string (vihds/ode.py:80-81).  Same
+# machinery, different tableaus.
+# ---------------------------------------------------------------------------
+_BS3_C = np.array([0.0, 1 / 2, 3 / 4, 1.0])
+_BS3_A = np.zeros((4, 4))
+_BS3_A[1, 0] = 1 / 2
+_BS3_A[2, :2] = [0.0, 3 / 4]
+_BS3_A[3, :3] = [2 / 9, 1 / 3, 4 / 9]
+_BS3_B = np.array([2 / 9, 1 / 3, 4 / 9, 0.0])
+_BS3_E = _BS3_B - np.array([7 / 24, 1 / 4, 1 / 3, 1 / 8])
+
+_HE2_C = np.array([0.0, 1.0])
+_HE2_A = np.zeros((2, 2))
+_HE2_A[1, 0] = 1.0
+_HE2_B = np.array([1 / 2, 1 / 2])
+_HE2_E = _HE2_B - np.array([1.0, 0.0])
+
+
+def _erk_step(A, C, B, E, n_stages):
+    def step(rhs, t, y, h):
+        ks = _stages(rhs, t, y, h, A, C, n_stages)
+        y_new = y + h * jnp.tensordot(B, ks, axes=1)
+        err = h * jnp.tensordot(E, ks, axes=1)
+        return y_new, err, None
+
+    return step
+
+
+_STEPPERS = {
+    "dopri5": (_dopri5_step, 5),
+    "dopri8": (_dop853_step, 8),
+    "bosh3": (_erk_step(_BS3_A, _BS3_C, _BS3_B, _BS3_E, 4), 3),
+    "adaptive_heun": (_erk_step(_HE2_A, _HE2_C, _HE2_B, _HE2_E, 2), 2),
+}
 
 
 def integrate_adaptive(
-    rhs, y0, times, method="dopri5", rtol=1e-6, atol=1e-8, max_steps_per_interval=64
+    rhs, y0, times, method="dopri5", rtol=1e-6, atol=1e-8, max_steps_per_interval=None
 ):
     """Integrate to each grid time exactly; returns [T, *y0.shape]."""
     stepper, order = _STEPPERS[method]
     inv_order = 1.0 / order
+    if max_steps_per_interval is None:
+        # the while_loop exits as soon as the interval is done, so the bound
+        # only needs to be generous enough for the method's order at the
+        # default tolerances (an order-2 method needs ~tol^(-1/2) more steps
+        # than an order-5 one; a hit cap would silently truncate the solve)
+        max_steps_per_interval = {2: 2048, 3: 512}.get(order, 64)
     safety, min_factor, max_factor = 0.9, 0.2, 10.0
 
     def error_norm(err, y, y_new):

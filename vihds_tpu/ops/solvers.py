@@ -60,7 +60,7 @@ FIXED_GRID_SOLVERS = {
     "rk4": _step_rk4,
 }
 
-ADAPTIVE_SOLVERS = ("dopri5", "dopri8")
+ADAPTIVE_SOLVERS = ("dopri5", "dopri8", "bosh3", "adaptive_heun")
 
 
 def integrate_fixed(rhs, y0, times, method="midpoint", checkpoint=False, unroll=4):
@@ -133,7 +133,13 @@ def integrate(rhs, y0, times, method="midpoint", checkpoint=False, adjoint=False
 
         return integrate_adjoint(rhs, y0, times, method=method, **opts)
     if method not in FIXED_GRID_SOLVERS:
-        raise ValueError("Unknown solver %r" % method)
+        raise ValueError(
+            "Unknown solver %r; supported: %s (fixed-grid) and %s (adaptive). "
+            "torchdiffeq's Adams family and tsit5 are deliberately excluded — "
+            "see PARITY.md's solver row." % (
+                method, sorted(FIXED_GRID_SOLVERS), list(ADAPTIVE_SOLVERS),
+            )
+        )
     if adjoint:
         from vihds_tpu.ops.adjoint import integrate_adjoint
 
