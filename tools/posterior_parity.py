@@ -102,10 +102,15 @@ def run_reference(seed, epochs, out_dir, spec):
         # makes the reference score at the SAMPLED theta — exactly this
         # repo's semantics (vihds_tpu/vae.py:70-78) — while the decoder still
         # integrates the clipped value.  Identical whenever clipping is
-        # inactive.  Valid only for specs without device conditioning
-        # (dr_constant_one: device_depth<=1 disables it, so the reference's
-        # conditioned_theta == clipped_theta and swapping it for the sampled
-        # theta changes only the clip in the score).
+        # inactive.  On specs WITH device conditioning (dr_constant_icml) the
+        # native reference additionally scores log q at the CONDITIONED theta
+        # (vihds/vae.py:35 returns the decoder's conditioned_theta); this
+        # shim scores at the sampled theta there too — again exactly this
+        # repo's objective, so shimmed-reference-vs-ours is the
+        # matched-objective comparison on every spec.  (Measured round 3:
+        # the NATIVE reference diverges on dr_constant_icml seed 0 — ELBO
+        # +2.9e19 by epoch 160, reports/icml_parity/*_native_DIVERGED.log —
+        # so the native objective has no usable headline-config readout.)
         import vihds.vae as ref_vae
 
         def _forward_score_sampled(self, data, samples, writer=None, epoch=None):
@@ -147,12 +152,17 @@ def run_ours(seed, epochs, out_dir, spec):
     args = create_parser(True).parse_args([os.path.join(REPO, "specs", spec)])
     args.seed = seed
     args.epochs = epochs
-    args.test_epoch = 20
+    args.test_epoch = int(os.environ.get("VIHDS_REF_TEST_EPOCH", "20"))
     args.plot_epoch = 0
     args.train_samples = 200
-    args.test_samples = 200
+    args.test_samples = int(os.environ.get("VIHDS_REF_TEST_SAMPLES", "200"))
     settings = Config(args)
     settings.trainer = None
+    if os.environ.get("VIHDS_OURS_Q_INIT"):
+        # init-convention control: "unit" matches the reference's Q_Global
+        # log-prec=0 init (see config.DEFAULT_PARAMS["q_global_init"])
+        settings.params.q_global_init = os.environ["VIHDS_OURS_Q_INIT"]
+        print("[posterior_parity] ours q_global_init = %s" % settings.params.q_global_init)
     _, val_results = run_on_split(args, settings)
     _save(out_dir, "ours", seed, val_results)
 

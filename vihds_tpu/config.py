@@ -58,6 +58,15 @@ DEFAULT_PARAMS = dict(
     learning_boundaries=[250, 500],
     learning_rate=0.01,
     learning_gamma=0.2,
+    # Initialisation of the GLOBAL q-site precisions: "prior" starts q at the
+    # prior (this repo's convention — principled variational init), "unit"
+    # starts log-prec at 0 exactly like the reference's Q_Global
+    # (vihds/parameters.py builds init_free_params with init_log_prec=0 for
+    # the shared templates global sites reference; verified empirically:
+    # every reference q_global_defs.*.log_prec initialises to 0).  The knob
+    # exists to run init-convention-controlled parity experiments
+    # (tools/posterior_parity.py).
+    q_global_init="prior",
 )
 
 

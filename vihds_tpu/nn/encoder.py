@@ -45,6 +45,9 @@ class Encoder:
         self.filter_size = params.filter_size
         self.pool_size = params.pool_size
         self.n_hidden = params.n_hidden
+        self.q_global_init = getattr(params, "q_global_init", "prior")
+        if self.q_global_init not in ("prior", "unit"):
+            raise ValueError("Unknown q_global_init %s" % self.q_global_init)
         if params.transfer_func != "tanh":
             raise ValueError("Unknown transfer_func %s" % params.transfer_func)
 
@@ -100,7 +103,21 @@ class Encoder:
             # vihds/encoders.py:216-239)
             g_sites = self.program.sites.global_
             p["glob_mu"] = jnp.array([s.init_free[0] for s in g_sites], jnp.float32)
-            p["glob_lp"] = jnp.array([s.init_free[1] for s in g_sites], jnp.float32)
+            # "prior": q starts at the prior precision (spec sigma/prec);
+            # "unit": log-prec 0 like the reference Q_Global (normal-family
+            # sites only — Kumaraswamy's second free param is log b, not a
+            # precision).  See config.DEFAULT_PARAMS["q_global_init"].
+            from vihds_tpu.prob.sites import KUMARASWAMY
+
+            p["glob_lp"] = jnp.array(
+                [
+                    s.init_free[1]
+                    if (self.q_global_init == "prior" or s.kind == KUMARASWAMY)
+                    else 0.0
+                    for s in g_sites
+                ],
+                jnp.float32,
+            )
         return p
 
     # ----------------------------------------------------------------- apply
