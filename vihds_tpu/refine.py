@@ -31,8 +31,11 @@ LOG2PI = math.log(2.0 * math.pi)
 
 
 def _sampled_mask(program):
-    """Which theta columns the samplers move."""
-    movable = program.is_normal_family & ~program.is_constant
+    """Which theta columns the samplers move.  TruncatedNormal sites are
+    excluded (module docstring: held at their initial draw) — constrain_z
+    and the Normal prior term ignore the truncation bounds, so moving them
+    would silently target the wrong (untruncated) distribution."""
+    movable = program.is_normal_family & ~program.is_constant & ~program.is_truncated
     return jnp.asarray(movable.astype(np.float32))
 
 
@@ -117,6 +120,7 @@ def hmc_refine(
     step_scale=0.05,
     target_accept=0.7,
     site_mask=None,
+    return_trace=False,
 ):
     """HMC over z, one chain per (datapoint, sample) pair, initialised at q.
 
@@ -174,7 +178,8 @@ def hmc_refine(
         log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
         counted = (t >= n_warmup).astype(jnp.float32)
         # median across chains: robust to the occasional diverged chain
-        return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), jnp.median(lj0)
+        out = (jnp.median(lj0), z) if return_trace else jnp.median(lj0)
+        return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), out
 
     keys = jax.random.split(key, n_steps)
     # Per-chain initial step scaled by the local gradient magnitude: a unit
@@ -183,10 +188,11 @@ def hmc_refine(
     g0 = grad_log_joint(z) * mask
     g_scale = jnp.sqrt(jnp.sum((g0 * base_step) ** 2, axis=-1))  # [B, K]
     log_eps0 = jnp.log(step_scale) - jnp.log1p(g_scale)
-    (z, log_eps, n_accept), lj_trace = jax.lax.scan(
+    (z, log_eps, n_accept), scanned = jax.lax.scan(
         one_step, (z, log_eps0, jnp.zeros(z.shape[:2])), (keys, jnp.arange(n_steps))
     )
-    return AttrDict(
+    lj_trace, z_trace = scanned if return_trace else (scanned, None)
+    out = AttrDict(
         theta=constrain_z(program, z),
         z=z,
         z_init=z_init,
@@ -194,7 +200,14 @@ def hmc_refine(
         step_size=jnp.exp(log_eps),
         log_joint=log_joint(z),
         log_joint_trace=lj_trace,
+        n_warmup=n_warmup,
     )
+    if return_trace:
+        # post-accept z after every step, [n_steps, B, K, n_theta]; the
+        # post-warmup slice feeds the ESS / split-R-hat mixing diagnostics
+        # (tools/recovery_study.py)
+        out["z_trace"] = z_trace
+    return out
 
 
 def hmc_refine_pooled(
@@ -209,6 +222,7 @@ def hmc_refine_pooled(
     n_leapfrog=10,
     step_scale=0.02,
     target_accept=0.7,
+    return_trace=False,
 ):
     """Joint HMC over the FULL hierarchy: the exact posterior
     p(shared, locals | all series), pooling evidence across the dataset.
@@ -224,9 +238,13 @@ def hmc_refine_pooled(
     The state is a pytree ``{g: [K, nG], c: [D, K, nC], l: [L, K, nL]}``;
     momenta, diagonal prior-precision masses and leapfrog updates act
     leaf-wise, and accept/reject is ONE Metropolis decision per chain over
-    the whole (nG + D*nC + L*nL)-dimensional state.  Non-normal-family and
-    constant sites keep their amortised draw (same policy as hmc_refine).
-    Returns full-theta samples [L, K, n_theta] plus diagnostics."""
+    the whole (nG + D*nC + L*nL)-dimensional state.  Non-normal-family,
+    truncated and constant sites keep their amortised draw (same movable
+    policy as hmc_refine); frozen SHARED coordinates are tied to one
+    representative draw per scope (z0 row 0 for globals, each device's
+    first row for conditioned sites) so shared sites stay shared in the
+    returned joint samples.  Returns full-theta samples [L, K, n_theta]
+    plus diagnostics."""
     L = batch.observations.shape[0]
     raw_dev = np.zeros(L, np.int32) if devices is None else np.asarray(devices, np.int32)
     # densify device ids (a subset of devices may appear in this batch)
@@ -236,7 +254,10 @@ def hmc_refine_pooled(
     D = int(dev_np.max()) + 1
 
     gsl, csl, lsl = program.global_slice, program.global_cond_slice, program.local_slice
-    mov = (program.is_normal_family & ~program.is_constant).astype(np.float32)
+    # same movable policy as _sampled_mask (truncated sites stay frozen)
+    mov = (program.is_normal_family & ~program.is_constant & ~program.is_truncated).astype(
+        np.float32
+    )
     mg, mc, ml = jnp.asarray(mov[gsl]), jnp.asarray(mov[csl]), jnp.asarray(mov[lsl])
     prior_mu = jnp.asarray(program.prior_mu)
     prior_prec = jnp.asarray(program.prior_prec)
@@ -264,12 +285,20 @@ def hmc_refine_pooled(
         l=z0[:, :, lsl],                                  # [L, K, nL]
     )
 
+    # Frozen (non-movable) SHARED coordinates must stay shared too: tie them
+    # to the same representative rows the sampled state was seeded from
+    # (z0[0] for globals, the first row of each device for conditioned
+    # sites), otherwise frozen shared sites would come back untied across
+    # series in the supposedly exact hierarchical joint samples.
+    frozen_g = jnp.broadcast_to(z0[0:1, :, gsl], (L,) + z0[0, :, gsl].shape)
+    frozen_c = z0[jnp.asarray(first_row)][:, :, csl][dev_idx]
+
     def assemble(s):
         z = z0
         z = z.at[:, :, gsl].set(
-            jnp.where(mg > 0, jnp.broadcast_to(s["g"][None], (L,) + s["g"].shape), z0[:, :, gsl])
+            jnp.where(mg > 0, jnp.broadcast_to(s["g"][None], (L,) + s["g"].shape), frozen_g)
         )
-        z = z.at[:, :, csl].set(jnp.where(mc > 0, s["c"][dev_idx], z0[:, :, csl]))
+        z = z.at[:, :, csl].set(jnp.where(mc > 0, s["c"][dev_idx], frozen_c))
         z = z.at[:, :, lsl].set(jnp.where(ml > 0, s["l"], z0[:, :, lsl]))
         return z
 
@@ -336,7 +365,8 @@ def hmc_refine_pooled(
         adapt = (t < n_warmup).astype(jnp.float32)
         log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
         counted = (t >= n_warmup).astype(jnp.float32)
-        return (s, log_eps, n_accept + counted * accept.astype(jnp.float32)), jnp.median(lj0)
+        out = (jnp.median(lj0), s) if return_trace else jnp.median(lj0)
+        return (s, log_eps, n_accept + counted * accept.astype(jnp.float32)), out
 
     # gradient-scaled initial step, as in hmc_refine, but over the pooled state
     g0 = grad_lj(state0)
@@ -348,11 +378,12 @@ def hmc_refine_pooled(
     )
     log_eps0 = jnp.log(step_scale) - jnp.log1p(g_scale)
     keys = jax.random.split(key, n_steps)
-    (s, log_eps, n_accept), lj_trace = jax.lax.scan(
+    (s, log_eps, n_accept), scanned = jax.lax.scan(
         one_step, (state0, log_eps0, jnp.zeros(n_chains)), (keys, jnp.arange(n_steps))
     )
+    lj_trace, s_trace = scanned if return_trace else (scanned, None)
     z = assemble(s)
-    return AttrDict(
+    out = AttrDict(
         theta=constrain_z(program, z),
         z=z,
         z_init=z0,
@@ -361,7 +392,14 @@ def hmc_refine_pooled(
         step_size=jnp.exp(log_eps),
         log_joint=log_joint(s),
         log_joint_trace=lj_trace,
+        n_warmup=n_warmup,
     )
+    if return_trace:
+        # post-accept SHARED-block states per step ({g:[S,K,nG], c:[S,D,K,nC],
+        # l:[S,L,K,nL]}); feeds the mixing diagnostics without materialising
+        # the assembled [S, L, K, n_theta] trace
+        out["state_trace"] = s_trace
+    return out
 
 
 # --------------------------------------------------------------------------- #

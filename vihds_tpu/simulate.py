@@ -246,6 +246,27 @@ def calibrate_shared_center(
     return center, achieved
 
 
+def probe_peak_through(program, n_series, decode_fn, sigma_scale, center):
+    """The calibration probe's peak through an ARBITRARY decode (e.g. the
+    eval_mode decode that actually generates the data, when a spec's solver
+    and eval_solver differ — r2 advisor: the calibrated peak must describe
+    the generating decode, not just the train-solver one it was optimised
+    through)."""
+    import jax.numpy as jnp
+
+    prec = np.where(
+        program.is_normal_family,
+        program.prior_prec / float(sigma_scale) ** 2,
+        program.prior_prec,
+    ).astype(np.float32)
+    q_truth = AttrDict(
+        mu=jnp.asarray(program.prior_mu)[None, :], prec=jnp.asarray(prec)[None, :]
+    )
+    u = jnp.broadcast_to(jnp.asarray(center)[None, None, :], (n_series, 1, program.n_theta))
+    clipped = program.clip(program.sample(q_truth, u), stddevs=4)
+    return float(np.max(np.abs(np.asarray(decode_fn(clipped)))))
+
+
 def _theta_from_u(program, u, sigma_scale):
     """Push tied u through the spec's own sampling machinery (dependent sites
     and non-Normal kinds included), so the truth distribution is exactly the
@@ -480,7 +501,23 @@ def simulate(args):
             program, len(devices), lambda c: decode_diff(c)[0],
             args.sigma_scale, args.calibrate_target,
         )
-        stats.update(u_center=center, calibrated_peak=calibrated_peak)
+        # The probe peak through the EVAL decode — the one data generation
+        # actually uses; differs from calibrated_peak only when the spec's
+        # solver and eval_solver differ (r2 advisor).
+        calibrated_peak_eval = probe_peak_through(
+            program, len(devices), lambda c: decode(c)[0], args.sigma_scale, center
+        )
+        if abs(calibrated_peak_eval - calibrated_peak) > 0.05 * max(calibrated_peak, 1e-9):
+            print(
+                "simulate: NOTE eval-decode probe peak %.3f differs from the "
+                "train-decode calibrated peak %.3f (solver vs eval_solver)"
+                % (calibrated_peak_eval, calibrated_peak)
+            )
+        stats.update(
+            u_center=center,
+            calibrated_peak=calibrated_peak,
+            calibrated_peak_eval=calibrated_peak_eval,
+        )
 
     if args.max_scaled:
         theta, theta_clipped, in_regime = sample_truth_theta_in_regime(
@@ -492,6 +529,14 @@ def simulate(args):
     else:
         u = _tied_normal_u(program, devices, k_theta, center=center)
         theta, theta_clipped = _theta_from_u(program, u, args.sigma_scale)
+
+    # Record how much the +-4sigma clip actually bit the truth draw: recovery
+    # scores against theta_clipped (what the decoder integrated), so nonzero
+    # saturation here means sampled != generative theta (r2 advisor).
+    clip_frac = float(np.mean(theta != theta_clipped))
+    if clip_frac:
+        print("simulate: clip saturation on %.2f%% of truth coordinates" % (100 * clip_frac))
+    stats.update(clip_saturation=clip_frac)
 
     x_predict_j, prec_j = decode(jnp.asarray(theta_clipped))
     obs, truth_prec = add_observation_noise(ode_model, x_predict_j, prec_j, k_noise)
