@@ -172,6 +172,10 @@ class Config:
         self.params = apply_defaults_params(config.params)
         if getattr(args, "precision_hidden_layers", None) is not None:
             self.params.n_hidden_decoder_precisions = args.precision_hidden_layers
+        if getattr(args, "q_global_init", None) is not None:
+            self.params.q_global_init = args.q_global_init
+        if getattr(args, "grad_clip_norm", None) is not None:
+            self.params.grad_clip_norm = args.grad_clip_norm
         self.model = config.model
         self.seed = args.seed if args.seed is not None else 0
         self.trainer = None

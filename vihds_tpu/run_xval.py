@@ -49,6 +49,23 @@ def create_parser(with_split: bool):
         help="Number of hidden layers to use in neural precisions",
     )
     parser.add_argument(
+        "--grad_clip_norm",
+        type=float,
+        default=None,
+        help="Global-norm gradient clipping (params.grad_clip_norm override); "
+        "the stabiliser for neural-precision blowups",
+    )
+    parser.add_argument(
+        "--q_global_init",
+        type=str,
+        default=None,
+        choices=["prior", "unit"],
+        help="Override the GLOBAL q-site precision init: 'unit' = log-prec 0 "
+        "(the reference's Q_Global convention; measured better optima), "
+        "'prior' = start q at the prior precision.  Default: the spec / "
+        "config.DEFAULT_PARAMS value.",
+    )
+    parser.add_argument(
         "--verbose", action="store_true", default=False, help="Print more information"
     )
     parser.add_argument(
