@@ -33,6 +33,8 @@ _NODE_ARG_KEYS = (
     "mesh",
     "mesh_data",
     "mesh_sample",
+    "grad_clip_norm",
+    "q_global_init",
 )
 
 # store_true CLI flags: a truthy YAML value turns the flag on.  vmap_folds /
