@@ -58,15 +58,18 @@ DEFAULT_PARAMS = dict(
     learning_boundaries=[250, 500],
     learning_rate=0.01,
     learning_gamma=0.2,
-    # Initialisation of the GLOBAL q-site precisions: "prior" starts q at the
-    # prior (this repo's convention — principled variational init), "unit"
-    # starts log-prec at 0 exactly like the reference's Q_Global
-    # (vihds/parameters.py builds init_free_params with init_log_prec=0 for
-    # the shared templates global sites reference; verified empirically:
-    # every reference q_global_defs.*.log_prec initialises to 0).  The knob
-    # exists to run init-convention-controlled parity experiments
-    # (tools/posterior_parity.py).
-    q_global_init="prior",
+    # Initialisation of the GLOBAL q-site precisions: "unit" starts log-prec
+    # at 0 — the reference's Q_Global convention (verified empirically: every
+    # reference q_global_defs.*.log_prec initialises to 0) — and is the
+    # DEFAULT because it measurably finds better optima: on dr_constant_one
+    # (1000 epochs, 9 seeds) best-val ELBO 566-746 (mean 667) vs 484-622
+    # (mean 524) under "prior", and +9 nats mean on dr_constant_icml; a
+    # wide-prior global init injects high-variance theta samples that keep
+    # the local sites from tightening (BASELINE.md round-3 section,
+    # reports/posterior_parity_ctrl_unit/).  "prior" starts q at the prior
+    # precision (available for init-convention experiments; reports produced
+    # before round 3 used it).
+    q_global_init="unit",
 )
 
 

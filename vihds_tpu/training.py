@@ -1096,6 +1096,7 @@ class Training:
             # Check the PREVIOUS chunk now (overlaps this chunk's execution).
             if _nan_abort(pending_elbos):
                 iterating = False
+                chunk_elbos = None  # consumed: don't re-print post-loop
             pending_elbos = chunk_elbos
             epoch = end_epoch
             log_data.total_train_time += time.time() - epoch_start
