@@ -69,6 +69,8 @@ def test_node_args_expose_driver_features(tmp_path):
                 "vmap_folds": True,
                 "mesh": "auto",
                 "dreg": True,
+                "grad_clip_norm": 10.0,
+                "q_global_init": "prior",
             },
             "b": {
                 "spec": spec("dr_constant_one.yaml"),
@@ -85,6 +87,7 @@ def test_node_args_expose_driver_features(tmp_path):
     g = ig.create_inference_graph(str(path), "tf")
     a = g["a"].args
     assert a.folds == 2 and a.vmap_folds is True and a.mesh == "auto" and a.dreg is True
+    assert a.grad_clip_norm == 10.0 and a.q_global_init == "prior"
     b = g["b"].args
     assert b.heldout == "R33S32_Y81C76" and b.mesh_data == 2 and b.mesh_sample == 4
     assert b.vmap_folds is False
