@@ -103,3 +103,64 @@ def test_distributed_cli_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp["elbo"], sp["elbo"], rtol=1e-4)
     np.testing.assert_allclose(mp["q_values"], sp["q_values"], rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(mp["iw_predict_mu"], sp["iw_predict_mu"], rtol=2e-3, atol=2e-4)
+
+
+def _run_mp(tmp_path, results_dir, extra, timeout=900):
+    """Launch the CLI as 2 jax.distributed processes; return process-0 stdout."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *CLI, *extra, "--distributed", "127.0.0.1:%d,2,%d" % (port, pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_env(tmp_path, results_dir, 4), cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, out[-3000:] + err[-3000:]
+        outs.append(out)
+    return outs[0]
+
+
+def _val_elbos(stdout):
+    import re as _re
+
+    return [float(m) for m in _re.findall(r"val \(iwae-elbo = ([-\d.]+)", stdout)]
+
+
+@pytest.mark.slow
+def test_distributed_checkpoint_resume(tmp_path):
+    """--checkpoint_epoch/--resume_from under --distributed: a 2-process run
+    checkpointed at epoch 2 and resumed to epoch 4 replays the continuous
+    2-process run's validation trajectory exactly (the multi-process analogue
+    of test_checkpoint.py::test_resume_is_trajectory_faithful).  Exercises the
+    broadcast checkpoint dir (non-main has no trainer), the all-process orbax
+    save barrier, and the replicated re-commit of the restored state."""
+    cont_dir = tmp_path / "cont"
+    half_dir = tmp_path / "half"
+    res_dir = tmp_path / "res"
+    for d in (cont_dir, half_dir, res_dir):
+        d.mkdir()
+
+    v_cont = _val_elbos(_run_mp(tmp_path, cont_dir, []))  # evals at epochs 2, 4
+    assert len(v_cont) == 2
+
+    v_half = _val_elbos(_run_mp(tmp_path, half_dir, ["--epochs", "2", "--checkpoint_epoch", "2"]))
+    (exp_half,) = [d for d in os.listdir(half_dir) if d.startswith("mh")]
+    ckpt_dir = os.path.join(half_dir, exp_half, "checkpoints_1_of_4")
+    assert os.path.isdir(ckpt_dir), "process-0 checkpoint dir missing"
+
+    out = _run_mp(tmp_path, res_dir, ["--resume_from", ckpt_dir])
+    assert "Resumed from" in out
+    v_res = _val_elbos(out)
+
+    # half replays the continuous first eval; the resumed run replays the rest
+    np.testing.assert_allclose(v_half, v_cont[:1], rtol=1e-5)
+    np.testing.assert_allclose(v_res, v_cont[1:], rtol=1e-5)

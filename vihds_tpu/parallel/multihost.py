@@ -14,7 +14,8 @@ CPU clusters), build the global mesh with the ordinary ``--mesh`` flags, and
 ``is_main()``.  Real pod hardware is unreachable from this environment (one
 chip, one host); the path is exercised by tests/test_multihost.py (2-process
 value/grad match) and tests/test_multihost_cli.py (2-process CLI e2e whose
-artifacts match the single-process run).
+artifacts match the single-process run, plus a 2-process checkpoint/resume
+run that replays the continuous run's validation trajectory).
 """
 
 import jax
@@ -81,6 +82,26 @@ def initialize_from_args(args):
 def is_main():
     """True on the process that owns artifact/TensorBoard writes."""
     return jax.process_index() == 0
+
+
+def broadcast_string(s, max_len=1024):
+    """Replicate a process-0 string to every process.
+
+    Rides the same collective path the arrays use (fixed-size uint8 buffer
+    through ``multihost_utils.broadcast_one_to_all``).  Used to share the
+    process-0 results/checkpoint directory with the trainer-less non-main
+    processes of a ``--distributed`` launch."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, dtype=np.uint8)
+    if s:
+        raw = s.encode("utf-8")
+        if len(raw) > max_len:
+            raise ValueError("broadcast_string: %d bytes > max_len %d" % (len(raw), max_len))
+        buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b"\x00").decode("utf-8")
 
 
 def is_multiprocess_mesh(mesh):

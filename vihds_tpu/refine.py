@@ -486,7 +486,9 @@ def smc_refine(
         lse = jax.scipy.special.logsumexp(log_w, axis=1, keepdims=True)
         log_Z = log_Z + lse[:, 0] - math.log(z.shape[1])
         log_w_n = log_w - lse
-        ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_w_n), axis=1)  # [B]
+        # ESS <= n_particles mathematically; float32 logsumexp noise can push
+        # the near-uniform-weight case a few 1e-4 over, so clamp.
+        ess = jnp.minimum(1.0 / jnp.sum(jnp.exp(2.0 * log_w_n), axis=1), z.shape[1])  # [B]
         k_res, *k_moves = jax.random.split(key_t, 1 + n_moves)
         need = ess < ess_threshold * z.shape[1]
         idx = jax.vmap(_systematic_resample)(jax.random.split(k_res, z.shape[0]), log_w_n)

@@ -992,21 +992,34 @@ class Training:
         from vihds_tpu import checkpoint as ckpt
 
         ckpt_every = getattr(self.args, "checkpoint_epoch", 0) or 0
-        if self.multiprocess and (ckpt_every or getattr(self.args, "resume_from", None)):
-            raise NotImplementedError(
-                "--checkpoint_epoch/--resume_from under --distributed needs the "
-                "orbax multi-process array handler; not wired yet"
-            )
         ckpt_dir = None
-        if self.settings.trainer is not None and (ckpt_every or getattr(self.args, "resume_from", None)):
-            held = getattr(self.args, "heldout", None) or "%d_of_%d" % (self.args.split, self.args.folds)
-            ckpt_dir = os.path.join(self.settings.trainer.tb_log_dir, "checkpoints_%s" % held)
+        if ckpt_every or getattr(self.args, "resume_from", None):
+            if self.settings.trainer is not None:
+                held = getattr(self.args, "heldout", None) or "%d_of_%d" % (self.args.split, self.args.folds)
+                ckpt_dir = os.path.join(self.settings.trainer.tb_log_dir, "checkpoints_%s" % held)
+            if self.multiprocess:
+                # Non-main processes have no trainer (no results dir); the
+                # process-0 path is authoritative and every process must pass
+                # the SAME directory to orbax (its save/finalize barriers are
+                # collective).  Requires a filesystem all processes share —
+                # an NFS/GCS mount on a pod slice; trivially true in the
+                # 2-process CPU e2e test.
+                from vihds_tpu.parallel import multihost
+
+                ckpt_dir = multihost.broadcast_string(ckpt_dir or "") or None
         start_epoch = 1
         resume_from = getattr(self.args, "resume_from", None)
         if resume_from:
+            # Under --distributed the template (and therefore the restored
+            # state) is host numpy — identical on every process — and is
+            # committed to the mesh as replicated global arrays below, same
+            # as the fresh init.
+            as_template = (
+                (lambda t: jax.tree_util.tree_map(np.asarray, t)) if self.multiprocess else (lambda t: t)
+            )
             template = {
-                "params": params,
-                "opt_state": opt_state,
+                "params": as_template(params),
+                "opt_state": as_template(opt_state),
                 "key": np.asarray(key),
                 "extra": {"epoch": 0},
             }
@@ -1015,6 +1028,13 @@ class Training:
                 params = state["params"]
                 opt_state = state["opt_state"]
                 key = state["key"]
+                if self.multiprocess:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    repl = NamedSharding(self.mesh, P())
+                    params, opt_state, key = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(np.asarray(x), repl), (params, opt_state, key)
+                    )
                 start_epoch = int(state["extra"]["epoch"]) + 1
                 print("Resumed from %s at epoch %d" % (resume_from, start_epoch - 1))
 
@@ -1106,7 +1126,15 @@ class Training:
                     params, epoch, log_data, train_writer, valid_writer, sub
                 )
             if ckpt_every and ckpt_dir and iterating and np.mod(epoch, ckpt_every) == 0:
-                ckpt.save(ckpt_dir, epoch, params, opt_state, key, extra={"epoch": epoch})
+                if self.multiprocess:
+                    # Replicated global arrays -> identical host numpy on every
+                    # process; orbax writes once (primary) and barriers all.
+                    p_h, o_h, k_h = jax.tree_util.tree_map(
+                        np.asarray, (params, opt_state, key)
+                    )
+                    ckpt.save(ckpt_dir, epoch, p_h, o_h, k_h, extra={"epoch": epoch})
+                else:
+                    ckpt.save(ckpt_dir, epoch, params, opt_state, key, extra={"epoch": epoch})
             epoch += 1
         # Final chunk's deferred check (diagnostic parity: the abort message
         # still prints when the LAST chunk is the one that went non-finite).
