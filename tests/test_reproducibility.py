@@ -196,3 +196,47 @@ def test_fold1_abort_merge_metadata_and_boxing(tmp_path):
     xm2 = XvalMerge(args, settings)
     xm2.load(settings.trainer.tb_log_dir)
     assert list(xm2.species_names) == ["OD", "RFP", "YFP", "CFP"]
+
+
+def test_deferred_nan_abort_semantics(tmp_path, monkeypatch, capsys):
+    """The pipelined NaN check (training.py deferred-abort loop) must: fire
+    exactly once, lag exactly ONE chunk (the chunk after the NaN one still
+    dispatches before the loop exits), and still return the pre-NaN best-val
+    results (the NaN chunk's boundary eval never updates the cache)."""
+    import jax.numpy as jnp
+
+    from vihds_tpu.training import Training
+
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    args = make_args(spec("dr_constant_one.yaml"), epochs=8, test_epoch=2)
+    args.seed = 0
+    settings = Config(args)
+    settings.trainer = None
+
+    calls = {"n": 0}
+    orig_build = Training._build_steps
+
+    def build_then_wrap(self):
+        orig_build(self)
+        inner = self._train_epoch
+
+        def nan_on_second(params, opt_state, key, stacks, times):
+            calls["n"] += 1
+            params, opt_state, key, elbos = inner(params, opt_state, key, stacks, times)
+            if calls["n"] == 2:  # epochs 3-4: poison this chunk's ELBOs
+                elbos = jnp.full_like(elbos, jnp.nan)
+            return params, opt_state, key, elbos
+
+        self._train_epoch = nan_on_second
+
+    monkeypatch.setattr(Training, "_build_steps", build_then_wrap)
+    data, results = run_on_split(args, settings)
+
+    out = capsys.readouterr().out
+    assert out.count("Cannot proceed with ELBO = nan. Exiting.") == 1
+    # chunk 3 (epochs 5-6) dispatches before chunk 2's NaN is seen; chunk 4 never runs
+    assert calls["n"] == 3
+    # the epoch-2 eval (pre-NaN) survives as the best-val result
+    assert results is not None
+    assert np.isfinite(np.asarray(results.elbo)).all()
+    assert len(results.elbo_list) < 4  # aborted: fewer evals than the full run's
