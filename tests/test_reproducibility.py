@@ -3,7 +3,6 @@
 Kumaraswamy sites train end-to-end."""
 
 import numpy as np
-import pytest
 import yaml
 
 from tests.conftest import make_args, spec
