@@ -105,3 +105,55 @@ def test_resume_is_trajectory_faithful(tmp_path, monkeypatch):
     assert len(res_straight.elbo_list) == 2  # evals at epochs 2 and 4
     np.testing.assert_allclose(res_half.elbo_list, res_straight.elbo_list[:1], rtol=1e-6)
     np.testing.assert_allclose(res_resumed.elbo_list, res_straight.elbo_list[1:], rtol=1e-6)
+
+
+def test_checkpoint_never_saves_nan_state(tmp_path, monkeypatch, capsys):
+    """A checkpoint boundary whose just-finished chunk went NaN must NOT
+    persist the NaN params/opt_state (a resumed run would restore them):
+    the ckpt branch checks that chunk SYNCHRONOUSLY even though the abort
+    pipeline otherwise lags one chunk (round-3 advisor finding)."""
+    import jax.numpy as jnp
+
+    from vihds_tpu.config import Trainer
+    from vihds_tpu.run_xval import run_on_split
+    from vihds_tpu.training import Training
+
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    args = make_args(spec("dr_constant_one.yaml"), epochs=8, test_epoch=2)
+    args.checkpoint_epoch = 2
+    args.experiment = "nan_ckpt"
+    args.seed = 0
+    settings = Config(args)
+    settings.trainer = Trainer(args, add_timestamp=False)
+
+    calls = {"n": 0}
+    orig_build = Training._build_steps
+
+    def build_then_wrap(self):
+        orig_build(self)
+        inner = self._train_epoch
+
+        def nan_on_second(params, opt_state, key, stacks, times):
+            calls["n"] += 1
+            params, opt_state, key, elbos = inner(params, opt_state, key, stacks, times)
+            if calls["n"] == 2:  # epochs 3-4: poison this chunk's ELBOs
+                elbos = jnp.full_like(elbos, jnp.nan)
+            return params, opt_state, key, elbos
+
+        self._train_epoch = nan_on_second
+
+    monkeypatch.setattr(Training, "_build_steps", build_then_wrap)
+    data, results = run_on_split(args, settings)
+
+    out = capsys.readouterr().out
+    assert out.count("Cannot proceed with ELBO = nan. Exiting.") == 1
+    ckpt_dir = os.path.join(settings.trainer.tb_log_dir, "checkpoints_1_of_4")
+    # epoch-2 checkpoint exists; the epoch-4 boundary (NaN chunk) refused
+    assert ckpt.latest_epoch(ckpt_dir) == 2
+    step, state = ckpt.restore(ckpt_dir)
+    assert step == 2
+    for leaf in jax.tree_util.tree_leaves(state["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # the NaN chunk's boundary eval is discarded: no NaN validation entries
+    assert results is not None
+    assert np.isfinite(np.asarray(results.elbo_list)).all()

@@ -239,3 +239,33 @@ def test_deferred_nan_abort_semantics(tmp_path, monkeypatch, capsys):
     assert results is not None
     assert np.isfinite(np.asarray(results.elbo)).all()
     assert len(results.elbo_list) < 4  # aborted: fewer evals than the full run's
+
+
+def test_pipelined_eval_matches_sync(tmp_path, monkeypatch):
+    """The eval pipeline (dispatch at the boundary, complete after the next
+    chunk's dispatch) must be BIT-identical to completing each eval at its
+    own boundary: the pending handle pins the dispatched device outputs, so
+    best-val selection, trajectories, and cached arrays cannot depend on
+    when the fetches run (VERDICT r3 #1 regression gate)."""
+    def run(sync):
+        if sync:
+            monkeypatch.setenv("VIHDS_SYNC_EVAL", "1")
+        else:
+            monkeypatch.delenv("VIHDS_SYNC_EVAL", raising=False)
+        monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+        args = make_args(spec("dr_constant_one.yaml"), epochs=8, test_epoch=2)
+        args.seed = 0
+        settings = Config(args)
+        settings.trainer = None
+        _, results = run_on_split(args, settings)
+        return results
+
+    piped = run(sync=False)
+    synced = run(sync=True)
+    np.testing.assert_array_equal(piped.elbo, synced.elbo)
+    np.testing.assert_array_equal(piped.elbo_list, synced.elbo_list)
+    np.testing.assert_array_equal(piped.iw_predict_mu, synced.iw_predict_mu)
+    np.testing.assert_array_equal(piped.iw_predict_std, synced.iw_predict_std)
+    np.testing.assert_array_equal(piped.theta, synced.theta)
+    for a, b in zip(piped.q_values, synced.q_values):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -45,7 +45,10 @@ class Encoder:
         self.filter_size = params.filter_size
         self.pool_size = params.pool_size
         self.n_hidden = params.n_hidden
-        self.q_global_init = getattr(params, "q_global_init", "prior")
+        # fallback must track config.DEFAULT_PARAMS["q_global_init"]: params
+        # objects not routed through apply_defaults_params would otherwise
+        # silently train under the old init convention
+        self.q_global_init = getattr(params, "q_global_init", "unit")
         if self.q_global_init not in ("prior", "unit"):
             raise ValueError("Unknown q_global_init %s" % self.q_global_init)
         if params.transfer_func != "tanh":

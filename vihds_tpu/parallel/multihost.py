@@ -84,7 +84,7 @@ def is_main():
     return jax.process_index() == 0
 
 
-def broadcast_string(s, max_len=1024):
+def broadcast_string(s, max_len=4096):
     """Replicate a process-0 string to every process.
 
     Rides the same collective path the arrays use (fixed-size uint8 buffer
