@@ -19,9 +19,18 @@ printed reason) for configurations the batched program cannot express:
 non-merged (``merge: false``) datasets, heldout splits, an explicit
 ``--mesh_data``/``--mesh_sample`` factorisation (the sequential driver
 shards each fold over the requested (data, sample) mesh), ``--mesh auto``
-when no device count divides the folds, checkpoint/resume, profiling, or
-folds whose padded batch or eval-chunk counts differ (a common chunk grid
-would change those folds' eval RNG streams vs the sequential driver).
+when no device count divides the folds, profiling, or folds whose padded
+batch or eval-chunk counts differ (a common chunk grid would change those
+folds' eval RNG streams vs the sequential driver).
+
+Checkpoint/resume IS supported (round 4): the batched fold state is one
+stacked pytree, saved at checkpoint boundaries through the same orbax
+layer the sequential driver uses (``checkpoints_vmap/`` under the results
+dir) together with the per-fold NaN-freeze mask; a resumed run replays
+``epoch_perm(seed, e)`` batch orders exactly, like the sequential path.
+Like the sequential path, resume restores the TRAINING state only — the
+best-val cache/log state starts fresh (the first post-resume improvement
+re-dumps it).
 """
 
 import copy
@@ -67,8 +76,6 @@ def unsupported_reason(args, settings):
         return "merge: false datasets group by file, not by fold"
     if getattr(args, "heldout", None):
         return "--heldout is a single split, not a k-fold"
-    if getattr(args, "checkpoint_epoch", 0) or getattr(args, "resume_from", None):
-        return "checkpoint/resume is per-fold state"
     if getattr(args, "profile_dir", None):
         return "profiling traces one fold's dispatch stream"
     if args.folds < 2:
@@ -348,13 +355,48 @@ class VmapXval:
         empty_cache = [True] * F
         alive = [True] * F
 
+        # Checkpoint/resume of the batched fold state: ONE stacked pytree
+        # (params_v, opt_v, keys_v) + the per-fold NaN-freeze mask, through
+        # the same orbax layer as the sequential driver.  epoch_perm derives
+        # batch orders from (seed, epoch) alone, so a resumed run replays
+        # exactly the orders the uninterrupted run would have seen.
+        from vihds_tpu import checkpoint as ckpt
+
+        ckpt_every = getattr(args, "checkpoint_epoch", 0) or 0
+        ckpt_dir = None
+        if ckpt_every or getattr(args, "resume_from", None):
+            if self.settings.trainer is not None:
+                ckpt_dir = os.path.join(
+                    self.settings.trainer.tb_log_dir, "checkpoints_vmap"
+                )
+        start_epoch = 1
+        resume_from = getattr(args, "resume_from", None)
+        if resume_from:
+            template = {
+                "params": params_v,
+                "opt_state": opt_v,
+                "key": np.asarray(keys_v),
+                "extra": {"epoch": 0, "alive": np.ones(F, bool)},
+            }
+            step, state = ckpt.restore(resume_from, template=template)
+            if state is not None:
+                params_v = state["params"]
+                opt_v = state["opt_state"]
+                keys_v = jnp.asarray(np.asarray(state["key"]), jnp.uint32)
+                alive = [bool(b) for b in np.asarray(state["extra"]["alive"])]
+                start_epoch = int(state["extra"]["epoch"]) + 1
+                print("Resumed vmapped folds from %s at epoch %d" % (resume_from, start_epoch - 1))
+
         def next_boundary(e):
             te = args.test_epoch
-            return min(args.epochs, ((e - 1) // te + 1) * te)
+            cands = [args.epochs, ((e - 1) // te + 1) * te]
+            if ckpt_every:
+                cands.append(((e - 1) // ckpt_every + 1) * ckpt_every)
+            return min(cands)
 
         print("---------------------------")
         print("Training: %d folds vmapped (one batched program)" % F)
-        epoch = 1
+        epoch = start_epoch
         while any(alive) and epoch < args.epochs + 1:
             start = time.time()
             end_epoch = next_boundary(epoch)
@@ -419,6 +461,15 @@ class VmapXval:
                 self._eval_boundary(
                     params_v, epoch, k1_v, k2_v, log_datas, train_writers, valid_writers,
                     valid_outputs, empty_cache, alive,
+                )
+            if ckpt_every and ckpt_dir and np.mod(epoch, ckpt_every) == 0:
+                # elbos_v was fetched synchronously above, so `alive` already
+                # reflects this chunk's NaN freezes: frozen folds' (NaN)
+                # params ride along but the saved mask keeps them frozen on
+                # resume — no NaN state is ever trained or reported from.
+                ckpt.save(
+                    ckpt_dir, epoch, params_v, opt_v, np.asarray(keys_v),
+                    extra={"epoch": epoch, "alive": np.array(alive)},
                 )
             epoch += 1
 
