@@ -308,3 +308,63 @@ def test_vmap_folds_config_errors_not_swallowed(tmp_results):
     settings.params.transfer_func = "no_such_activation"
     with pytest.raises(ValueError, match="transfer_func"):
         xfold.run_all_folds(args, settings)
+
+
+def test_outlier_fold_detection_and_rerun(monkeypatch, capsys):
+    """Slow-basin fold affordance (VERDICT r3 #5): folds landing far below
+    the sibling median are flagged loudly; --rerun_outliers retrains exactly
+    those folds sequentially (fresh training seed, same data split) and
+    keeps the better result, re-dumping the winner's cache."""
+    from types import SimpleNamespace
+
+    from tests.conftest import make_args
+    from vihds_tpu import xfold
+
+    assert xfold.detect_outlier_folds([1000.0, 1005.0, 995.0, 870.0], 50) == [3]
+    assert xfold.detect_outlier_folds([1000.0, 1005.0, 995.0, None], 50) == [3]
+    assert xfold.detect_outlier_folds([1000.0, 1005.0, 995.0, 990.0], 50) == []
+    assert xfold.detect_outlier_folds([float("nan"), 1000.0], 50) == [0]
+
+    class FakeRes:
+        def __init__(self, elbo):
+            self.elbo = elbo
+            self.dumped = []
+
+        def dump(self, d):
+            self.dumped.append(d)
+
+    runner = SimpleNamespace(cache_dirs=["c0", "c1"])
+    settings = SimpleNamespace(seed=0)
+
+    # without the flag: diagnosis prints, nothing reruns
+    args = make_args(spec("dr_constant_one.yaml"), folds=2)
+    results = [FakeRes(1000.0), FakeRes(870.0)]
+    out = xfold._handle_outlier_folds(args, settings, runner, results)
+    msg = capsys.readouterr().out
+    assert "fold 2: best-val 870.0" in msg and "--rerun_outliers" in msg
+    assert out[1].elbo == 870.0 and out[1].dumped == []
+
+    # with the flag: fold 2 reruns under a bumped seed and recovers
+    args.rerun_outliers = True
+    called = {}
+
+    def fake_run_on_split(a, s, split=None):
+        called["split"] = split
+        called["seed"] = s.seed
+        return None, FakeRes(990.0)
+
+    monkeypatch.setattr("vihds_tpu.run_xval.run_on_split", fake_run_on_split)
+    out = xfold._handle_outlier_folds(args, settings, runner, results)
+    assert called["split"] == 2 and called["seed"] != 0
+    assert out[0].elbo == 1000.0 and out[1].elbo == 990.0
+    assert out[1].dumped == ["c1"]  # the winner's cache is re-dumped
+
+    # a rerun that does NOT improve keeps the original (and re-dumps it)
+    results = [FakeRes(1000.0), FakeRes(870.0)]
+
+    def fake_worse(a, s, split=None):
+        return None, FakeRes(700.0)
+
+    monkeypatch.setattr("vihds_tpu.run_xval.run_on_split", fake_worse)
+    out = xfold._handle_outlier_folds(args, settings, runner, results)
+    assert out[1].elbo == 870.0 and out[1].dumped == ["c1"]

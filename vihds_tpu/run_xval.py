@@ -141,6 +141,23 @@ def create_parser(with_split: bool):
         "stream; falls back to the sequential driver for configurations the "
         "batched program cannot express",
     )
+    parser.add_argument(
+        "--rerun_outliers",
+        action="store_true",
+        default=False,
+        help="(call_run_xval --vmap_folds) after the batched run, retrain any "
+        "fold whose best-val ELBO lands > --outlier_nats below the sibling "
+        "median (a slow-basin optimum) through the sequential driver under a "
+        "fresh training RNG, keeping the better result",
+    )
+    parser.add_argument(
+        "--outlier_nats",
+        type=float,
+        default=50.0,
+        help="Slow-basin fold threshold: nats below the sibling-fold median "
+        "best-val ELBO at which a fold is flagged (and rerun under "
+        "--rerun_outliers)",
+    )
     return parser
 
 

@@ -554,6 +554,82 @@ class VmapXval:
             )
 
 
+def detect_outlier_folds(elbos, nats):
+    """Indices of folds whose best-val ELBO lands more than ``nats`` below
+    the median of their SIBLING folds (or that produced no result at all).
+
+    Long-horizon vmapped training reproduces the sequential driver's
+    convergence BAND, with occasional (~1/8 measured) slow-basin folds —
+    float32-reassociation flips which optimum a fold lands in (BASELINE.md
+    'Long-horizon equivalence').  The measured outliers sat 60-140 nats
+    below siblings spread within ~±30, so the default threshold is 50."""
+    vals = np.array(
+        [v if v is not None and np.isfinite(v) else np.nan for v in elbos], float
+    )
+    out = []
+    for f in range(len(vals)):
+        sibs = vals[np.arange(len(vals)) != f]
+        sibs = sibs[np.isfinite(sibs)]
+        if len(sibs) == 0:
+            continue
+        if not np.isfinite(vals[f]) or vals[f] < np.median(sibs) - nats:
+            out.append(f)
+    return out
+
+
+def _handle_outlier_folds(args, settings, runner, results):
+    """Detect slow-basin folds after a vmapped run; with --rerun_outliers,
+    rerun exactly those folds through the SEQUENTIAL driver under a fresh
+    training RNG (same numpy-seeded data split — the fold's heldout set is
+    unchanged) and keep whichever result scores the higher best-val.
+
+    Without the flag the diagnosis still prints loudly, so a silently-worse
+    fold can no longer pass unnoticed (VERDICT r3 #5)."""
+    nats = float(getattr(args, "outlier_nats", 0) or 50.0)
+    elbos = [None if r is None else float(r.elbo) for r in results]
+    outliers = detect_outlier_folds(elbos, nats)
+    if not outliers:
+        return results
+    med = np.median([e for e in elbos if e is not None and np.isfinite(e)])
+    print("================================================================")
+    print("WARNING: %d of %d folds landed > %.0f nats below the sibling "
+          "median (%.1f) — likely slow-basin optima (see BASELINE.md "
+          "'Long-horizon equivalence'):" % (len(outliers), len(results), nats, med))
+    for f in outliers:
+        print("  fold %d: best-val %s" % (
+            f + 1, "none (no cached result)" if elbos[f] is None else "%.1f" % elbos[f]))
+    if not getattr(args, "rerun_outliers", False):
+        print("Pass --rerun_outliers to retrain just these folds sequentially "
+              "under a fresh training RNG and keep the better result.")
+        return results
+    from vihds_tpu.run_xval import run_on_split
+
+    for f in outliers:
+        rerun_seed = (settings.seed or 0) + 10007 + f
+        print("---------------------------")
+        print("Rerunning fold %d sequentially with training seed %d "
+              "(data split unchanged)" % (f + 1, rerun_seed))
+        a = copy.copy(args)
+        a.heldout = None
+        s = copy.copy(settings)
+        s.seed = rerun_seed  # training RNG only; the fold split rides args.seed
+        _, rerun = run_on_split(a, s, split=f + 1)
+        new = None if rerun is None else float(rerun.elbo)
+        old = elbos[f]
+        if new is not None and (old is None or new > old):
+            print("Fold %d recovered: best-val %.1f (was %s)" % (
+                f + 1, new, "none" if old is None else "%.1f" % old))
+            results[f] = rerun
+        else:
+            print("Fold %d rerun did not improve (%s vs %s); keeping the "
+                  "original" % (f + 1, new, old))
+        # the rerun shares the fold's cache dir; re-dump the WINNER so the
+        # on-disk best-val cache matches what the merge consumes
+        if results[f] is not None:
+            results[f].dump(runner.cache_dirs[f])
+    return results
+
+
 def run_all_folds(args, settings):
     """Entry point for call_run_xval: returns [(split_idx, data_pair,
     val_results-or-None)] or None when this configuration needs the
@@ -604,6 +680,7 @@ def run_all_folds(args, settings):
         print("vmap_folds: falling back to sequential folds (%s)" % e)
         return None
     results = runner.run()
+    results = _handle_outlier_folds(args, settings, runner, results)
     return [
         (f + 1, runner.pairs[f], results[f])
         for f in range(args.folds)
