@@ -270,3 +270,75 @@ def test_counterfactual_step_is_compiled_once(tmp_path):
     pargs.treatments = ["C6=1;C12=0", "C6=10;C12=0", "C6=100;C12=0"]
     out = P.predict(pargs)
     assert len(out.counterfactuals) == 3
+
+
+def test_malformed_serving_inputs_fail_with_named_errors(tmp_path):
+    """Serving is a product surface: every malformed-input class — empty
+    file, non-plate CSV, missing/ragged signal columns, bad condition
+    strings, unseen devices, an incompatible time grid, a missing file —
+    must fail with a NAMED, actionable error, never a shape traceback
+    (VERDICT r3 #9)."""
+    import pandas as pd
+
+    from vihds_tpu.data import procdata
+
+    args = make_args(spec("dr_constant_one.yaml"))
+    settings = Config(args)
+    settings.trainer = None
+    data = build_datasets(args, settings)
+    train_ds = data.train.dataset
+    src = pd.read_csv(os.path.join(DATA, "proc141006.csv"), na_filter=False)
+
+    def write(name, frame):
+        p = str(tmp_path / name)
+        frame.to_csv(p, index=False)
+        return p
+
+    # empty file
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    with pytest.raises(ValueError, match="is empty"):
+        procdata.load(str(p), settings.data)
+
+    # not plate-reader shaped
+    p = tmp_path / "short.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="does not look like plate-reader data"):
+        procdata.load(str(p), settings.data)
+
+    # missing file
+    with pytest.raises(FileNotFoundError, match="not found"):
+        procdata.load(str(tmp_path / "nope.csv"), settings.data)
+
+    # missing signal columns (drop every EYFP reading)
+    keep = [c for c in src.columns if "(EYFP)" not in c]
+    p = write("no_eyfp.csv", src[keep])
+    with pytest.raises(ValueError, match=r"no reading columns for signal\(s\) \['EYFP'\]"):
+        procdata.load(p, settings.data)
+
+    # ragged per-signal column counts (drop ONE ECFP reading)
+    ecfp = [c for c in src.columns if "(ECFP)" in c]
+    p = write("ragged.csv", src[[c for c in src.columns if c != ecfp[0]]])
+    with pytest.raises(ValueError, match="unequal reading-column counts"):
+        procdata.load(p, settings.data)
+
+    # unparseable condition string
+    bad = src.copy()
+    bad.iloc[1:, 4] = "C6=abc"
+    p = write("badcond.csv", bad)
+    with pytest.raises(ValueError, match="Unparseable condition string"):
+        procdata.load(p, settings.data)
+
+    # unseen device names: named exit listing what the file DOES contain
+    alien = src.copy()
+    alien.iloc[1:, 0] = "NotADevice"
+    p = write("alien.csv", alien)
+    with pytest.raises(SystemExit, match="NotADevice"):
+        P.load_new_data([p], settings, train_ds)
+
+    # incompatible (too-short) time grid: keep only readings before t=4
+    t0 = src.iloc[0, 5:].astype(float)
+    keep = list(src.columns[:5]) + [c for c, tv in zip(src.columns[5:], t0) if tv <= 4.0]
+    p = write("shortgrid.csv", src[keep])
+    with pytest.raises(SystemExit, match="incompatible with the training grid"):
+        P.load_new_data([p], settings, train_ds)

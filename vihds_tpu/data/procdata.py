@@ -29,7 +29,13 @@ def process_condition(row: str) -> "OrderedDict[str, float]":
         return d
     for cond in row.split(";"):
         key, _, val = cond.partition("=")
-        d[key] = float(val)
+        try:
+            d[key] = float(val)
+        except ValueError:
+            raise ValueError(
+                "Unparseable condition string %r: %r is not a number "
+                "(want e.g. 'C6=25000;C12=0')" % (row, val)
+            ) from None
     return d
 
 
@@ -64,8 +70,29 @@ def load(csv_file, settings):
     Returns ``(devices[L] int, treatments[L,C], times[T], observations[L,S,T])``
     with dtype from ``settings.dtype`` (parity: reference data/procdata.py:
     122-187).  Returns None when no row matches the requested devices.
+
+    Structural problems — a non-CSV or empty file, too few columns, missing
+    per-signal reading columns, ragged per-signal column counts — raise
+    named ValueErrors instead of cryptic downstream shape errors (the
+    serving path feeds user-supplied files through here; VERDICT r3 #9).
     """
-    table = pd.read_csv(os.path.join(settings.data_dir, csv_file), sep=",", na_filter=False)
+    path = os.path.join(settings.data_dir, csv_file)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            "Data CSV %r not found (resolved to %s; the spec's data_dir is %s)"
+            % (csv_file, path, settings.data_dir)
+        )
+    try:
+        table = pd.read_csv(path, sep=",", na_filter=False)
+    except pd.errors.EmptyDataError:
+        raise ValueError("Data CSV %s is empty (no header row)" % path) from None
+    if table.shape[1] <= 5 or table.shape[0] < 1:
+        raise ValueError(
+            "Data CSV %s does not look like plate-reader data (shape %s): "
+            "need a time row plus [device, colony, well-col, well-row, "
+            "condition, reading...] columns with headers like '600 (OD)'"
+            % (path, tuple(table.shape))
+        )
     time_row = table.iloc[0, 5:]  # observation times, one per reading column
     wells = table.iloc[1:, :]
     wells = wells[np.isin(wells.iloc[:, 0], settings.devices)]
@@ -85,6 +112,20 @@ def load(csv_file, settings):
     signal_of = np.array(
         [extract_signal(name.split(".")[0]) for name in readings.columns]
     )
+    counts = {s: int((signal_of == s).sum()) for s in settings.signals}
+    missing = [s for s, c in counts.items() if c == 0]
+    if missing or int((signal_of == "OD").sum()) == 0:
+        raise ValueError(
+            "Data CSV %s has no reading columns for signal(s) %s; found "
+            "signals %s (reading columns are named like '600 (OD)'; the "
+            "'OD' columns also carry the time grid)"
+            % (path, missing or ["OD"], sorted(set(signal_of)))
+        )
+    if len(set(counts.values())) != 1:
+        raise ValueError(
+            "Data CSV %s has unequal reading-column counts per signal %s — "
+            "every signal needs one column per timepoint" % (path, counts)
+        )
     observations = np.stack(
         [
             np.stack([row[signal_of == signal] for signal in settings.signals])

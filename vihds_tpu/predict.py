@@ -107,17 +107,44 @@ def load_new_data(csv_files, settings, train_dataset):
         # paths too, so pass existing paths through absolute.
         if os.path.exists(f):
             f = os.path.abspath(f)
-        parsed = procdata.load(f, settings.data)
+        try:
+            parsed = procdata.load(f, settings.data)
+        except (ValueError, FileNotFoundError) as e:
+            # named parse errors (empty file, missing signal columns, bad
+            # condition strings, ...) — surface them as clean CLI failures
+            raise SystemExit(str(e)) from None
         if parsed is None:
+            import pandas as pd
+
+            found = []
+            try:
+                found = sorted(
+                    set(pd.read_csv(
+                        os.path.join(settings.data.data_dir, f), na_filter=False
+                    ).iloc[1:, 0])
+                )
+            except Exception:
+                pass
             raise SystemExit(
-                "No rows in %s match the spec's devices %s"
-                % (f, list(settings.data.devices))
+                "No rows in %s match the spec's devices %s (the file's device "
+                "column holds %s) — predictions require devices the model was "
+                "trained on" % (f, list(settings.data.devices), found)
             )
         devices, inputs, times, obs = parsed
         # nearest-time snap onto the training grid (the same rule the
         # multi-file merge uses)
         idx = np.array([find_nearest(times, t) for t in train_times])
         worst = float(np.max(np.abs(np.asarray(times)[idx] - train_times)))
+        span = float(train_times[-1] - train_times[0])
+        if worst > 0.25 * span:
+            raise SystemExit(
+                "Time grid of %s is incompatible with the training grid: the "
+                "nearest available reading is %.2f time units away from some "
+                "training timepoint (training grid spans [%g, %g], step %.2f). "
+                "The encoder is shape-bound to the training grid, so serving "
+                "needs data covering a comparable time range."
+                % (f, worst, float(train_times[0]), float(train_times[-1]), dt)
+            )
         if worst > 1.5 * dt:
             print(
                 "WARNING: %s deviates up to %.2f time units from the training grid "
