@@ -1,11 +1,14 @@
-"""Multi-process PRODUCT path: the run_xval CLI launched as 2 jax.distributed
-processes (4 virtual CPU devices each, one global (data=2, sample=4) mesh)
-must produce the same artifacts as the single-process 8-device mesh run.
+"""Multi-process PRODUCT path: the run_xval CLI launched as N jax.distributed
+processes (8 virtual CPU devices globally, one (data=2, sample=4) mesh) must
+produce the same artifacts as the single-process 8-device mesh run.
 
 This is the pod-slice launch path (--distributed) end-to-end: full
 Training.run epoch loop with periodic evals, best-val caching, and the xval
 artifact set written by process 0 only (VERDICT r2 #3/#10; the capability
 leap over the reference's single-device config, vihds/config.py:161-178).
+Both tests run at 2 processes x 4 devices AND 4 processes x 2 devices —
+the 4-way launch catches broadcast/barrier asymmetries and non-contiguous
+shard math a 2-way launch cannot (VERDICT r3 #8).
 """
 
 import os
@@ -25,6 +28,9 @@ CLI = [
     "--train_samples", "10", "--test_samples", "10", "--plot_epoch", "0",
     "--mesh_data", "2", "--mesh_sample", "4",
 ]
+
+# (process count, virtual devices per process): global mesh is (2, 4) both ways
+LAYOUTS = [(2, 4), (4, 2)]
 
 
 def _free_port():
@@ -56,65 +62,18 @@ def _artifacts(results_dir):
     return exp_dir, arrs
 
 
-@pytest.mark.slow
-def test_distributed_cli_matches_single_process(tmp_path):
-    mp_dir = tmp_path / "mp"
-    sp_dir = tmp_path / "sp"
-    mp_dir.mkdir()
-    sp_dir.mkdir()
-
+def _run_mp(tmp_path, results_dir, extra, nproc=2, ndev=4, timeout=900):
+    """Launch the CLI as ``nproc`` jax.distributed processes with ``ndev``
+    virtual devices each; return process-0 stdout."""
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, *CLI, "--distributed", "127.0.0.1:%d,2,%d" % (port, pid)],
+            [sys.executable, *CLI, *extra,
+             "--distributed", "127.0.0.1:%d,%d,%d" % (port, nproc, pid)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=_env(tmp_path, mp_dir, 4), cwd=REPO,
+            env=_env(tmp_path, results_dir, ndev), cwd=REPO,
         )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, out[-3000:] + err[-3000:]
-        outs.append(out)
-
-    # process 0 wrote the full artifact set; process 1 wrote nothing
-    exp_dir, mp = _artifacts(mp_dir)
-    assert os.path.exists(os.path.join(exp_dir, "completed.txt"))
-    assert [d for d in os.listdir(mp_dir) if d.startswith("mh")] == [os.path.basename(exp_dir)]
-    assert "iwae-elbo" in outs[0]
-
-    single = subprocess.run(
-        [sys.executable, *CLI],
-        capture_output=True, text=True, env=_env(tmp_path, sp_dir, 8),
-        cwd=REPO, timeout=900,
-    )
-    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
-    _, sp = _artifacts(sp_dir)
-
-    # Same logical (2, 4) mesh => same sharded program; cross-process
-    # collectives may reassociate float32 reductions differently from the
-    # single-process ones, so exact-to-tolerance rather than bitwise.
-    np.testing.assert_allclose(mp["elbo"], sp["elbo"], rtol=1e-4)
-    np.testing.assert_allclose(mp["q_values"], sp["q_values"], rtol=2e-3, atol=2e-4)
-    np.testing.assert_allclose(mp["iw_predict_mu"], sp["iw_predict_mu"], rtol=2e-3, atol=2e-4)
-
-
-def _run_mp(tmp_path, results_dir, extra, timeout=900):
-    """Launch the CLI as 2 jax.distributed processes; return process-0 stdout."""
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, *CLI, *extra, "--distributed", "127.0.0.1:%d,2,%d" % (port, pid)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=_env(tmp_path, results_dir, 4), cwd=REPO,
-        )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -136,10 +95,43 @@ def _val_elbos(stdout):
 
 
 @pytest.mark.slow
-def test_distributed_checkpoint_resume(tmp_path):
-    """--checkpoint_epoch/--resume_from under --distributed: a 2-process run
+@pytest.mark.parametrize("nproc,ndev", LAYOUTS)
+def test_distributed_cli_matches_single_process(tmp_path, nproc, ndev):
+    mp_dir = tmp_path / "mp"
+    sp_dir = tmp_path / "sp"
+    mp_dir.mkdir()
+    sp_dir.mkdir()
+
+    out0 = _run_mp(tmp_path, mp_dir, [], nproc=nproc, ndev=ndev)
+
+    # process 0 wrote the full artifact set; the others wrote nothing
+    exp_dir, mp = _artifacts(mp_dir)
+    assert os.path.exists(os.path.join(exp_dir, "completed.txt"))
+    assert [d for d in os.listdir(mp_dir) if d.startswith("mh")] == [os.path.basename(exp_dir)]
+    assert "iwae-elbo" in out0
+
+    single = subprocess.run(
+        [sys.executable, *CLI],
+        capture_output=True, text=True, env=_env(tmp_path, sp_dir, 8),
+        cwd=REPO, timeout=900,
+    )
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
+    _, sp = _artifacts(sp_dir)
+
+    # Same logical (2, 4) mesh => same sharded program; cross-process
+    # collectives may reassociate float32 reductions differently from the
+    # single-process ones, so exact-to-tolerance rather than bitwise.
+    np.testing.assert_allclose(mp["elbo"], sp["elbo"], rtol=1e-4)
+    np.testing.assert_allclose(mp["q_values"], sp["q_values"], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(mp["iw_predict_mu"], sp["iw_predict_mu"], rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nproc,ndev", LAYOUTS)
+def test_distributed_checkpoint_resume(tmp_path, nproc, ndev):
+    """--checkpoint_epoch/--resume_from under --distributed: an N-process run
     checkpointed at epoch 2 and resumed to epoch 4 replays the continuous
-    2-process run's validation trajectory exactly (the multi-process analogue
+    N-process run's validation trajectory exactly (the multi-process analogue
     of test_checkpoint.py::test_resume_is_trajectory_faithful).  Exercises the
     broadcast checkpoint dir (non-main has no trainer), the all-process orbax
     save barrier, and the replicated re-commit of the restored state."""
@@ -149,15 +141,18 @@ def test_distributed_checkpoint_resume(tmp_path):
     for d in (cont_dir, half_dir, res_dir):
         d.mkdir()
 
-    v_cont = _val_elbos(_run_mp(tmp_path, cont_dir, []))  # evals at epochs 2, 4
-    assert len(v_cont) == 2
+    v_cont = _val_elbos(_run_mp(tmp_path, cont_dir, [], nproc=nproc, ndev=ndev))
+    assert len(v_cont) == 2  # evals at epochs 2, 4
 
-    v_half = _val_elbos(_run_mp(tmp_path, half_dir, ["--epochs", "2", "--checkpoint_epoch", "2"]))
+    v_half = _val_elbos(_run_mp(
+        tmp_path, half_dir, ["--epochs", "2", "--checkpoint_epoch", "2"],
+        nproc=nproc, ndev=ndev,
+    ))
     (exp_half,) = [d for d in os.listdir(half_dir) if d.startswith("mh")]
     ckpt_dir = os.path.join(half_dir, exp_half, "checkpoints_1_of_4")
     assert os.path.isdir(ckpt_dir), "process-0 checkpoint dir missing"
 
-    out = _run_mp(tmp_path, res_dir, ["--resume_from", ckpt_dir])
+    out = _run_mp(tmp_path, res_dir, ["--resume_from", ckpt_dir], nproc=nproc, ndev=ndev)
     assert "Resumed from" in out
     v_res = _val_elbos(out)
 
