@@ -150,3 +150,99 @@ def test_log_joint_matches_elbo_terms(setup):
     ).sum(-1)
     expected = np.asarray(terms.log_p_obs + terms.log_p) - jac + 0.5 * np.log(2 * np.pi) * n_sampled
     np.testing.assert_allclose(np.asarray(log_joint), expected, rtol=1e-3, atol=0.5)
+
+
+@pytest.fixture(scope="module")
+def trunc_setup(tmp_path_factory):
+    """dr_constant_one plus two TruncatedNormal sites that do NOT enter the
+    dynamics: their posterior is exactly their truncated prior."""
+    import yaml
+
+    base = yaml.safe_load(open(spec("dr_constant_one.yaml")))
+    base["params"]["global"]["tn_two"] = {
+        "distribution": "TruncNormal", "mu": 1.0, "sigma": 0.5, "a": 0.2, "b": 1.2,
+    }
+    base["params"]["global"]["tn_lo"] = {
+        "distribution": "TruncNormal", "mu": 0.0, "sigma": 1.0, "a": 0.0,
+    }
+    p = tmp_path_factory.mktemp("trunc") / "trunc.yaml"
+    p.write_text(yaml.dump(base))
+    args = make_args(str(p))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = batch_arrays(data.train.dataset.select(np.arange(N)))
+    return program, model, params, batch
+
+
+def test_truncated_prior_density_in_z_space(trunc_setup):
+    """log_prior_z_cols on a TruncatedNormal column must equal the scipy
+    truncnorm pdf at theta(z) times |d theta/d z|, and integrate to 1 over
+    z — the transform + log-Jacobian machinery, checked exactly."""
+    from scipy.stats import truncnorm
+
+    program, *_ = trunc_setup
+    for name, (mu, sigma, a, b) in {
+        "tn_two": (1.0, 0.5, 0.2, 1.2),
+        "tn_lo": (0.0, 1.0, 0.0, np.inf),
+    }.items():
+        i = program.index[name]
+        assert program.is_truncated[i]
+        z = np.linspace(-12.0, 12.0, 4001, dtype=np.float32)
+        lp = np.asarray(refine.log_prior_z_cols(program, jnp.asarray(z)[:, None], np.array([i])))[:, 0]
+        # integrates to 1 over z
+        np.testing.assert_allclose(np.trapezoid(np.exp(lp), z), 1.0, rtol=2e-3)
+        # pointwise: TN pdf at theta(z) times the Jacobian
+        zf = jnp.zeros((len(z), program.n_theta)).at[:, i].set(jnp.asarray(z))
+        theta = np.asarray(refine.constrain_z(program, zf))[:, i]
+        assert (theta > a).all() and (theta < min(b, 1e9)).all()
+        jac = np.exp(np.asarray(refine._log_jac_truncated(program, zf))[:, i])
+        pdf = truncnorm.pdf(theta, (a - mu) / sigma, (min(b, 1e6) - mu) / sigma, mu, sigma)
+        sel = np.abs(z) < 8  # skip the saturated tails
+        np.testing.assert_allclose(np.exp(lp)[sel], (pdf * jac)[sel], rtol=1e-3, atol=1e-7)
+
+
+def test_hmc_recovers_truncated_posterior(trunc_setup):
+    """HMC over a spec with TruncatedNormal sites: the dynamics-neutral
+    truncated sites' samples must stay inside their support and recover the
+    truncated prior's moments (their exact posterior), while the sampler
+    still moves them (VERDICT r3 #7)."""
+    from scipy.stats import truncnorm
+
+    program, model, params, batch = trunc_setup
+    # move ONLY the truncated sites (cut inference): every other coordinate
+    # keeps its amortised draw, so the truncated columns' target is exactly
+    # their truncated prior and mixing is fast — the full-joint run targets
+    # the same marginal but needs far more steps to equilibrate from an
+    # untrained q
+    mask = np.zeros(program.n_theta, np.float32)
+    mask[program.index["tn_two"]] = 1.0
+    mask[program.index["tn_lo"]] = 1.0
+    out = refine.hmc_refine(
+        model, program, params, batch, jax.random.PRNGKey(3),
+        n_chains=16, n_steps=60, n_leapfrog=5, return_trace=True,
+        site_mask=jnp.asarray(mask),
+    )
+    acc = np.asarray(out.accept_rate)
+    assert acc.mean() > 0.3
+    # pool post-warmup trace samples: [steps, B, K] per column
+    zt = np.asarray(out.z_trace)[out.n_warmup:]
+    for name, (mu, sigma, a, b) in {
+        "tn_two": (1.0, 0.5, 0.2, 1.2),
+        "tn_lo": (0.0, 1.0, 0.0, np.inf),
+    }.items():
+        i = program.index[name]
+        th = np.asarray(refine.constrain_z(program, jnp.asarray(zt)))[..., i].ravel()
+        assert (th >= a).all() and (th <= b).all()
+        A, B = (a - mu) / sigma, (min(b, 1e6) - mu) / sigma
+        true_mean = truncnorm.mean(A, B, mu, sigma)
+        true_std = truncnorm.std(A, B, mu, sigma)
+        # the sampler moves the site (not frozen at its init draw)
+        assert np.std(th) > 0.2 * true_std
+        assert abs(np.mean(th) - true_mean) < 0.35 * true_std, (
+            "%s: mean %.3f vs truncated-prior %.3f (sd %.3f)"
+            % (name, np.mean(th), true_mean, true_std)
+        )
+        assert 0.6 * true_std < np.std(th) < 1.5 * true_std
