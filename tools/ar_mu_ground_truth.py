@@ -1,0 +1,207 @@
+"""aR.mu decisive experiment (VERDICT r3 #4): is the one failing parity site
+a small systematic q bias, or basin statistics with a faithful q?
+
+The cross-implementation battery (reports/posterior_parity_ctrl_unit) left
+aR.mu open: reference seeds mean -0.45 (sd 0.35), ours +0.12 (sd 0.41) —
+overlapping per-seed distributions whose means differ by ~1.5 per-seed sd.
+Two hypotheses the battery cannot separate:
+
+  (a) optimizer-path statistics: each run parks in a seed-dependent basin
+      along a near-flat direction; q faithfully reports the posterior OF ITS
+      OWN BASIN, and only the basin distribution differs between stacks;
+  (b) a small systematic q bias in one implementation: q misreports the
+      posterior its own trained decoder defines.
+
+This tool separates them by computing, per trained seed, the GROUND-TRUTH
+posterior of aR under that seed's own decoder: the pooled hierarchical HMC
+(refine.hmc_refine_pooled — exact joint p(shared, locals | all train
+series), one shared state per chain) sampled long, with split-R-hat
+monitoring on the aR coordinate.  If q(aR) matches its own HMC posterior
+within MC error at every seed, (a) is confirmed and aR.mu closes as a
+basin-distribution shift; a consistent q-vs-HMC offset would instead
+establish (b) with the sign naming the biased stack.  aS — the identically
+specified site that PASSES the battery (z = 0.28) — runs as the control.
+
+Regime matches the ctrl_unit battery (dr_constant_one, 1000 epochs,
+K_train=200, unit global-q init, same numpy-seeded split).
+
+Usage:
+  python tools/ar_mu_ground_truth.py run <seed> [out_dir] [n_steps]
+  python tools/ar_mu_ground_truth.py report [out_dir]
+"""
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+DEFAULT_OUT = os.path.join(REPO, "reports", "ar_mu_ground_truth")
+SITES = ("aR", "aS")
+
+
+def split_rhat(x):
+    """Split-R-hat over [n_samples, n_chains] draws."""
+    import numpy as np
+
+    n = (x.shape[0] // 2) * 2
+    halves = np.concatenate([x[: n // 2], x[n // 2: n]], axis=1)  # [n/2, 2C]
+    m = halves.shape[1]
+    cm = halves.mean(axis=0)
+    W = halves.var(axis=0, ddof=1).mean()
+    B = halves.shape[0] * cm.var(ddof=1) if m > 1 else 0.0
+    var_plus = (halves.shape[0] - 1) / halves.shape[0] * W + B / halves.shape[0]
+    return float(np.sqrt(var_plus / max(W, 1e-30)))
+
+
+def run(seed, out_dir, n_steps=3000):
+    import numpy as np
+    import jax
+
+    from vihds_tpu import refine
+    from vihds_tpu.config import Config
+    from vihds_tpu.data.datasets import build_datasets
+    from vihds_tpu.prob import ParamProgram, parse_parameters
+    from vihds_tpu.run_xval import create_parser
+    from vihds_tpu.training import Training, batch_arrays
+    from vihds_tpu.vae import VAE
+
+    os.makedirs(out_dir, exist_ok=True)
+    args = create_parser(True).parse_args([os.path.join(REPO, "specs", "dr_constant_one.yaml")])
+    args.seed = seed
+    args.epochs = int(os.environ.get("VIHDS_ARMU_EPOCHS", "1000"))  # smoke hook
+    args.test_epoch = 20
+    args.plot_epoch = 0
+    args.train_samples = 200
+    args.test_samples = 200
+    settings = Config(args)
+    settings.trainer = None
+    settings.params.q_global_init = "unit"  # the ctrl_unit battery convention
+
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    training = Training(args, settings, data, program, model)
+    results = training.run()
+    params = training.final_params
+
+    host = data.train.batch()
+    batch = batch_arrays(host)
+    q = model.encoder(params["enc"], batch)
+    q_mu = np.asarray(q.mu)
+    q_prec = np.asarray(q.prec)
+
+    res = refine.hmc_refine_pooled(
+        model, program, params, batch, jax.random.PRNGKey(seed + 101),
+        devices=host.devices, n_chains=16, n_steps=int(n_steps),
+        n_leapfrog=10, return_trace=True,
+    )
+    nw = int(res.n_warmup)
+    tc = np.asarray(res.state_trace["c"])[nw:]  # [S, D, K, nC]
+    csl = program.global_cond_slice
+    gc_names = [program.names[i] for i in range(csl.start, csl.stop)]
+    out = {
+        "seed": seed,
+        "best_val_elbo": float(np.asarray(results.elbo)) if results is not None else np.nan,
+        "accept": float(np.asarray(res.accept_rate).mean()),
+        "n_steps": int(n_steps),
+    }
+    for name in SITES:
+        i = program.index[name]
+        ic = i - csl.start
+        assert gc_names[ic] == name
+        draws = tc[:, 0, :, ic]  # [S, K] z-space (z = log theta for LogNormal)
+        out["%s_q_mu" % name] = float(q_mu[:, i].mean())
+        out["%s_q_sd" % name] = float((1.0 / np.sqrt(q_prec[:, i])).mean())
+        out["%s_hmc_mean" % name] = float(draws.mean())
+        out["%s_hmc_sd" % name] = float(draws.std())
+        # MCSE via ESS from lag-1..L autocorrelation of the pooled chains
+        ac = _ess(draws)
+        out["%s_hmc_ess" % name] = ac
+        out["%s_hmc_mcse" % name] = float(draws.std() / max(np.sqrt(ac), 1.0))
+        out["%s_rhat" % name] = split_rhat(draws)
+    path = os.path.join(out_dir, "seed%d.npz" % seed)
+    np.savez(path, **out)
+    print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()})
+    print("saved", path)
+
+
+def _ess(draws):
+    """Effective sample size over [S, K] chains (Geyer initial positive)."""
+    import numpy as np
+
+    S, K = draws.shape
+    x = draws - draws.mean(axis=0, keepdims=True)
+    # mean autocorrelation across chains
+    var = (x ** 2).mean()
+    if var <= 0:
+        return float(S * K)
+    rho_sum = 0.0
+    for lag in range(1, min(S - 1, 500)):
+        r = (x[:-lag] * x[lag:]).mean() / var
+        if r < 0.01:
+            break
+        rho_sum += r
+    return float(S * K / (1.0 + 2.0 * rho_sum))
+
+
+def report(out_dir):
+    import glob
+
+    import numpy as np
+
+    lines = [
+        "# aR.mu ground truth: q vs the pooled-HMC posterior, per trained seed",
+        "",
+        "Regime: ctrl_unit battery (dr_constant_one, 1000 ep, K=200, unit "
+        "init); per seed, the pooled hierarchical HMC samples the exact "
+        "posterior of that seed's OWN trained decoder; values in z-space "
+        "(z = log theta).  aS is the identically-specified control site "
+        "that PASSES the cross-implementation battery.",
+        "",
+        "| seed | site | q mu | q sd | HMC mean +- MCSE | HMC sd | |q-HMC|/HMC sd | R-hat | ESS |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    gaps = {s: [] for s in SITES}
+    for path in sorted(glob.glob(os.path.join(out_dir, "seed*.npz"))):
+        z = np.load(path)
+        for s in SITES:
+            gap = abs(float(z["%s_q_mu" % s]) - float(z["%s_hmc_mean" % s]))
+            rel = gap / max(float(z["%s_hmc_sd" % s]), 1e-12)
+            gaps[s].append((gap, rel, float(z["%s_hmc_mcse" % s])))
+            lines.append(
+                "| %d | %s | %.3f | %.3f | %.3f +- %.3f | %.3f | %.2f | %.3f | %.0f |"
+                % (int(z["seed"]), s, z["%s_q_mu" % s], z["%s_q_sd" % s],
+                   z["%s_hmc_mean" % s], z["%s_hmc_mcse" % s], z["%s_hmc_sd" % s],
+                   rel, z["%s_rhat" % s], z["%s_hmc_ess" % s])
+            )
+    lines.append("")
+    for s in SITES:
+        if not gaps[s]:
+            continue
+        rels = [r for _, r, _ in gaps[s]]
+        lines.append(
+            "%s: mean |q - HMC| = %.3f (%.2f posterior sd); cross-implementation "
+            "battery shift for comparison: 0.57 (aR)."
+            % (s, float(np.mean([g for g, _, _ in gaps[s]])), float(np.mean(rels)))
+        )
+    report_path = os.path.join(out_dir, "REPORT.md")
+    with open(report_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print("written to", report_path)
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "report":
+        report(os.path.abspath(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_OUT)
+        return
+    seed = int(sys.argv[2])
+    out_dir = os.path.abspath(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_OUT
+    n_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
+    run(seed, out_dir, n_steps)
+
+
+if __name__ == "__main__":
+    main()
