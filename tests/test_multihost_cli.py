@@ -159,3 +159,56 @@ def test_distributed_checkpoint_resume(tmp_path, nproc, ndev):
     # half replays the continuous first eval; the resumed run replays the rest
     np.testing.assert_allclose(v_half, v_cont[:1], rtol=1e-5)
     np.testing.assert_allclose(v_res, v_cont[1:], rtol=1e-5)
+
+
+UNMERGED_CLI = [
+    "-m", "vihds_tpu.run_xval", os.path.join("specs", "dr_constant_icml_unmerged.yaml"),
+    "--experiment", "mh", "--seed", "0", "--epochs", "2", "--test_epoch", "2",
+    "--train_samples", "8", "--test_samples", "8", "--plot_epoch", "0",
+    "--mesh_data", "2", "--mesh_sample", "4",
+]
+
+
+@pytest.mark.slow
+def test_distributed_unmerged_matches_single_process(tmp_path):
+    """merge:false x --distributed (round 4; previously NotImplementedError):
+    the per-file native-grid training/eval path runs multi-process and
+    matches the single-process 8-device mesh run's artifacts."""
+    mp_dir = tmp_path / "mp"
+    sp_dir = tmp_path / "sp"
+    mp_dir.mkdir()
+    sp_dir.mkdir()
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *UNMERGED_CLI,
+             "--distributed", "127.0.0.1:%d,2,%d" % (port, pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_env(tmp_path, mp_dir, 4), cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, out[-3000:] + err[-3000:]
+
+    exp_dir, mp = _artifacts(mp_dir)
+    assert os.path.exists(os.path.join(exp_dir, "completed.txt"))
+
+    single = subprocess.run(
+        [sys.executable, *UNMERGED_CLI],
+        capture_output=True, text=True, env=_env(tmp_path, sp_dir, 8),
+        cwd=REPO, timeout=1800,
+    )
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
+    _, sp = _artifacts(sp_dir)
+
+    np.testing.assert_allclose(mp["elbo"], sp["elbo"], rtol=1e-4)
+    np.testing.assert_allclose(mp["q_values"], sp["q_values"], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(mp["iw_predict_mu"], sp["iw_predict_mu"], rtol=2e-3, atol=2e-4)

@@ -55,8 +55,12 @@ def split_rhat(x):
 
 
 def run(seed, out_dir, n_steps=3000):
+    import tempfile
+
     import numpy as np
     import jax
+
+    os.chdir(tempfile.mkdtemp(prefix="armu_seed%d_" % seed))  # isolate .vihds_cache
 
     from vihds_tpu import refine
     from vihds_tpu.config import Config

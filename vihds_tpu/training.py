@@ -637,11 +637,6 @@ class Training:
         from vihds_tpu.parallel import multihost
 
         self.multiprocess = multihost.is_multiprocess_mesh(mesh)
-        if self.multiprocess and hasattr(data.train.dataset, "files"):
-            raise NotImplementedError(
-                "merge:false (multi-file) datasets are not supported under "
-                "--distributed yet; drop the flag or merge the dataset"
-            )
 
         p = settings.params
         self.n_batch = min(p.n_batch, data.n_train)
@@ -913,7 +908,9 @@ class Training:
         time-indexed outputs are snapped onto the shortest grid so the merged
         result is rectangular — the same contract a merged load produces."""
         n_total = sum(len(pos) for _, _, pos in groups)
-        keys = jax.random.split(key, len(groups))
+        # _split_key: an eager split on a replicated GLOBAL key raises in
+        # multi-process; the helper routes it through a tiny replicated jit
+        keys = self._split_key(key, num=len(groups))
         merged = AttrDict()
         for (file_i, host, pos), k in zip(groups, keys):
             part = self._eval_full(params, host, n_samples, k, with_theta=with_theta)
@@ -1093,15 +1090,19 @@ class Training:
                     mask[n_f:] = 0.0
                     perm = np.concatenate([perm, np.zeros(pad, int)])
                 idx = perm.reshape(nb, self.n_batch)
+                # _dev_stacked/_dev: under --distributed these build global
+                # (row-sharded / replicated) arrays — every process holds the
+                # identical file data, so merge:false trains multi-process
+                # exactly like the merged path
                 stacks = AttrDict(
-                    observations=jnp.asarray(host.observations[idx]),
-                    enc_observations=jnp.asarray(host.enc_observations[idx]),
-                    inputs=jnp.asarray(host.inputs[idx]),
-                    dev_1hot=jnp.asarray(host.dev_1hot[idx]),
-                    mask=jnp.asarray(mask.reshape(nb, self.n_batch)),
+                    observations=self._dev_stacked(host.observations[idx]),
+                    enc_observations=self._dev_stacked(host.enc_observations[idx]),
+                    inputs=self._dev_stacked(host.inputs[idx]),
+                    dev_1hot=self._dev_stacked(host.dev_1hot[idx]),
+                    mask=self._dev_stacked(mask.reshape(nb, self.n_batch)),
                 )
                 params, opt_state, key, elbos = self._train_epoch(
-                    params, opt_state, key, stacks, jnp.asarray(host.times)
+                    params, opt_state, key, stacks, self._dev(host.times)
                 )
                 all_elbos.append(np.asarray(elbos))
         return params, opt_state, key, np.concatenate(all_elbos)
