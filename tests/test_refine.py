@@ -165,6 +165,7 @@ def trunc_setup(tmp_path_factory):
     base["params"]["global"]["tn_lo"] = {
         "distribution": "TruncNormal", "mu": 0.0, "sigma": 1.0, "a": 0.0,
     }
+    base["params"]["global"]["ku"] = {"distribution": "Kumaraswamy", "a": 2.0, "b": 3.0}
     p = tmp_path_factory.mktemp("trunc") / "trunc.yaml"
     p.write_text(yaml.dump(base))
     args = make_args(str(p))
@@ -203,6 +204,22 @@ def test_truncated_prior_density_in_z_space(trunc_setup):
         sel = np.abs(z) < 8  # skip the saturated tails
         np.testing.assert_allclose(np.exp(lp)[sel], (pdf * jac)[sel], rtol=1e-3, atol=1e-7)
 
+    # Kumaraswamy(2, 3) on [0, 1]: z-space prior density matches the
+    # closed-form pdf times the sigmoid Jacobian and integrates to 1
+    i = program.index["ku"]
+    assert program.is_kumaraswamy[i]
+    z = np.linspace(-12.0, 12.0, 4001, dtype=np.float32)
+    lp = np.asarray(refine.log_prior_z_cols(program, jnp.asarray(z)[:, None], np.array([i])))[:, 0]
+    np.testing.assert_allclose(np.trapezoid(np.exp(lp), z), 1.0, rtol=2e-3)
+    zf = jnp.zeros((len(z), program.n_theta)).at[:, i].set(jnp.asarray(z))
+    x = np.asarray(refine.constrain_z(program, zf))[:, i]
+    assert (x > 0).all() and (x < 1).all()
+    jac = np.exp(np.asarray(refine._log_jac_kuma(program, zf))[:, i])
+    a_k, b_k = 2.0, 3.0
+    pdf = a_k * b_k * x ** (a_k - 1) * (1 - x ** a_k) ** (b_k - 1)
+    sel = np.abs(z) < 8
+    np.testing.assert_allclose(np.exp(lp)[sel], (pdf * jac)[sel], rtol=2e-3, atol=1e-7)
+
 
 def test_hmc_recovers_truncated_posterior(trunc_setup):
     """HMC over a spec with TruncatedNormal sites: the dynamics-neutral
@@ -220,6 +237,7 @@ def test_hmc_recovers_truncated_posterior(trunc_setup):
     mask = np.zeros(program.n_theta, np.float32)
     mask[program.index["tn_two"]] = 1.0
     mask[program.index["tn_lo"]] = 1.0
+    mask[program.index["ku"]] = 1.0
     out = refine.hmc_refine(
         model, program, params, batch, jax.random.PRNGKey(3),
         n_chains=16, n_steps=60, n_leapfrog=5, return_trace=True,
@@ -246,3 +264,17 @@ def test_hmc_recovers_truncated_posterior(trunc_setup):
             % (name, np.mean(th), true_mean, true_std)
         )
         assert 0.6 * true_std < np.std(th) < 1.5 * true_std
+
+    # Kumaraswamy(2, 3): recover the closed-form moments the same way
+    from scipy.special import beta as beta_fn
+
+    i = program.index["ku"]
+    th = np.asarray(refine.constrain_z(program, jnp.asarray(zt)))[..., i].ravel()
+    assert (th > 0).all() and (th < 1).all()
+    a_k, b_k = 2.0, 3.0
+    m1 = b_k * beta_fn(1 + 1 / a_k, b_k)
+    m2 = b_k * beta_fn(1 + 2 / a_k, b_k)
+    true_mean, true_std = m1, np.sqrt(m2 - m1 ** 2)
+    assert np.std(th) > 0.2 * true_std
+    assert abs(np.mean(th) - true_mean) < 0.35 * true_std
+    assert 0.6 * true_std < np.std(th) < 1.5 * true_std

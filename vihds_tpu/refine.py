@@ -13,13 +13,13 @@ star (the reference stops at the amortised IWAE posterior).  Both samplers:
   * reuse the decoder (condition -> integrate -> observe -> log-lik) as the
     likelihood, so any registered model works.
 
-Constant sites stay fixed; Kumaraswamy sites are held at their initial draw.
-TruncatedNormal sites ARE refined (round 4): z maps onto the open support
-via a sigmoid (two-sided) or exp (one-sided) bijection, and the prior term
-carries the truncated-normal density plus the transform's log-Jacobian, so
-the samplers target exactly the truncated posterior (VERDICT r3 #7 — the
-reference's TruncatedNormal is an unimplemented stub,
-/root/reference/vihds/distributions.py:384-464).
+Constant sites stay fixed.  Round 4 completes the site vocabulary: both
+bounded families are refined through support bijections with exact
+log-Jacobians — TruncatedNormal via sigmoid (two-sided) / exp (one-sided)
+onto (a, b), Kumaraswamy via sigmoid onto (zmin, zmax) — so the samplers
+target exactly the bounded posteriors (VERDICT r3 #7; both distributions
+are unimplemented stubs in the reference,
+/root/reference/vihds/distributions.py:384-464, 498-507).
 """
 
 import math
@@ -39,11 +39,11 @@ _ZCAP = 30.0
 
 
 def _sampled_mask(program):
-    """Which theta columns the samplers move.  Kumaraswamy sites are
-    excluded (module docstring: held at their initial draw); truncated
-    sites move through the bounded bijection below."""
-    movable = program.is_normal_family & ~program.is_constant
-    return jnp.asarray(movable.astype(np.float32))
+    """Which theta columns the samplers move: every non-constant site
+    (bounded families move through the support bijections below).
+    Dependent-site (a, b)/(mu, prec) wiring is held at the PRIOR values —
+    the same static-prior convention the whole module uses."""
+    return jnp.asarray((~program.is_constant).astype(np.float32))
 
 
 def _trunc_cases(program):
@@ -75,6 +75,38 @@ def _log_jac_truncated(program, z):
     return jnp.where(two, lj, zc)
 
 
+def _constrain_kuma(program, z):
+    """z -> theta on the Kumaraswamy support [zmin, zmax] (garbage on other
+    columns): zmin + (zmax - zmin) * sigmoid(z)."""
+    zc = jnp.clip(z, -_ZCAP, _ZCAP)
+    return program.zmin + (program.zmax - program.zmin) * jax.nn.sigmoid(zc)
+
+
+def _log_jac_kuma(program, z):
+    zc = jnp.clip(z, -_ZCAP, _ZCAP)
+    zr = jnp.maximum(program.zmax - program.zmin, 1e-12)
+    return jnp.log(zr) - jax.nn.softplus(-zc) - jax.nn.softplus(zc)
+
+
+def _log_kuma_pdf(program, theta, a, b):
+    """Kumaraswamy(a, b) log-density at theta on [zmin, zmax] (the (mu,
+    prec) slots carry (a, b) — same convention as ParamProgram.log_prob)."""
+    zr = jnp.maximum(program.zmax - program.zmin, 1e-12)
+    v = jnp.clip((theta - program.zmin) / zr, 1e-6, 1.0 - 1e-6)
+    return (
+        jnp.log(a) + jnp.log(b)
+        + (a - 1.0) * jnp.log(v)
+        + (b - 1.0) * jnp.log1p(-(v ** a))
+        - jnp.log(zr)
+    )
+
+
+def unconstrain_kuma(program, theta):
+    zr = jnp.maximum(program.zmax - program.zmin, 1e-12)
+    v = jnp.clip((theta - program.zmin) / zr, 1e-6, 1.0 - 1e-6)
+    return jnp.log(v) - jnp.log1p(-v)
+
+
 def unconstrain_truncated(program, theta):
     """Inverse of _constrain_truncated on the truncated columns."""
     two, lo, hi = _trunc_cases(program)
@@ -94,6 +126,8 @@ def constrain_z(program, z):
     theta = jnp.where(program.is_lognormal, jnp.exp(z), z)
     if program.is_truncated.any():
         theta = jnp.where(program.is_truncated, _constrain_truncated(program, z), theta)
+    if program.is_kumaraswamy.any():
+        theta = jnp.where(program.is_kumaraswamy, _constrain_kuma(program, z), theta)
     theta = jnp.where(program.is_constant, program.const_value, theta)
     return theta
 
@@ -110,22 +144,33 @@ def log_prior_z_cols(program, z, idx=None):
     mu = jnp.asarray(program.prior_mu[idx])
     prec = jnp.asarray(program.prior_prec[idx])
     lp = _normal_logpdf(z, mu, prec)
-    if not program.is_truncated[idx].any():
+    if not (program.is_truncated[idx].any() or program.is_kumaraswamy[idx].any()):
         return lp
-    # full-width truncation machinery, then select the idx columns
+    # full-width bounded-family machinery, then select the idx columns
     full = jnp.zeros(z.shape[:-1] + (program.n_theta,), z.dtype)
     zf = full.at[..., idx].set(z)
-    theta = _constrain_truncated(program, zf)
-    sigma = 1.0 / jnp.sqrt(jnp.asarray(program.prior_prec))
-    A = (program._trunc_a_safe - program.prior_mu) / sigma
-    B = (program._trunc_b_safe - program.prior_mu) / sigma
-    logZ = jnp.log(jnp.maximum(jnorm.cdf(B) - jnorm.cdf(A), 1e-12))
-    lp_t = (
-        _normal_logpdf(theta, jnp.asarray(program.prior_mu), jnp.asarray(program.prior_prec))
-        - logZ
-        + _log_jac_truncated(program, zf)
-    )[..., idx]
-    return jnp.where(jnp.asarray(program.is_truncated[idx]), lp_t, lp)
+    if program.is_truncated[idx].any():
+        theta = _constrain_truncated(program, zf)
+        sigma = 1.0 / jnp.sqrt(jnp.asarray(program.prior_prec))
+        A = (program._trunc_a_safe - program.prior_mu) / sigma
+        B = (program._trunc_b_safe - program.prior_mu) / sigma
+        logZ = jnp.log(jnp.maximum(jnorm.cdf(B) - jnorm.cdf(A), 1e-12))
+        lp_t = (
+            _normal_logpdf(theta, jnp.asarray(program.prior_mu), jnp.asarray(program.prior_prec))
+            - logZ
+            + _log_jac_truncated(program, zf)
+        )[..., idx]
+        lp = jnp.where(jnp.asarray(program.is_truncated[idx]), lp_t, lp)
+    if program.is_kumaraswamy[idx].any():
+        # (mu, prec) slots carry (a, b); guard the discarded columns with 1s
+        a_k = jnp.where(program.is_kumaraswamy, program.prior_mu, 1.0)
+        b_k = jnp.where(program.is_kumaraswamy, program.prior_prec, 1.0)
+        lp_k = (
+            _log_kuma_pdf(program, _constrain_kuma(program, zf), a_k, b_k)
+            + _log_jac_kuma(program, zf)
+        )[..., idx]
+        lp = jnp.where(jnp.asarray(program.is_kumaraswamy[idx]), lp_k, lp)
+    return lp
 
 
 def make_log_lik(model, program, params, batch):
@@ -193,6 +238,15 @@ def init_z_from_q(model, program, params, batch, key, n_samples):
         vv = jnp.clip(PhiA + jnorm.cdf(u) * (PhiB - PhiA), 1e-6, 1.0 - 1e-6)
         theta_t = mu_b + sig_safe * ndtri(vv)
         z = jnp.where(program.is_truncated, unconstrain_truncated(program, theta_t), z)
+    if program.is_kumaraswamy.any():
+        # program.sample's rule: x = zmin + zr*(1-(1-v)^(1/b))^(1/a), v=Phi(u)
+        v = jnp.clip(jnorm.cdf(u), 1e-6, 1.0 - 1e-6)
+        a_k = jnp.where(program.is_kumaraswamy, mu_b, 1.0)
+        b_k = jnp.where(program.is_kumaraswamy, prec_b, 1.0)
+        x = program.zmin + (program.zmax - program.zmin) * (
+            1.0 - (1.0 - v) ** (1.0 / b_k)
+        ) ** (1.0 / a_k)
+        z = jnp.where(program.is_kumaraswamy, unconstrain_kuma(program, x), z)
     log_q = (log_q_z_sites(program, z, mu_b, prec_b) * _sampled_mask(program)).sum(-1)
     return z, log_q, q
 
@@ -200,21 +254,30 @@ def init_z_from_q(model, program, params, batch, key, n_samples):
 def log_q_z_sites(program, z, mu_b, prec_b):
     """Per-site log q IN z-SPACE: plain Normal for Normal/LogNormal sites
     (q parameterises z directly); for TruncatedNormal sites q parameterises
-    theta-space, so TN(theta(z); q, a, b) + log|d theta/d z|."""
+    theta-space, so TN(theta(z); q, a, b) + log|d theta/d z|; for
+    Kumaraswamy sites the (mu, prec) slots carry q's (a, b)."""
     lq = _normal_logpdf(z, mu_b, prec_b)
-    if not program.is_truncated.any():
-        return lq
-    sigma_b = 1.0 / jnp.sqrt(jnp.maximum(prec_b, 1e-12))
-    sig_safe = jnp.where(program.is_truncated, sigma_b, 1.0)
-    A = (program._trunc_a_safe - mu_b) / sig_safe
-    B = (program._trunc_b_safe - mu_b) / sig_safe
-    logZ = jnp.log(jnp.maximum(jnorm.cdf(B) - jnorm.cdf(A), 1e-12))
-    lq_t = (
-        _normal_logpdf(_constrain_truncated(program, z), mu_b, prec_b)
-        - logZ
-        + _log_jac_truncated(program, z)
-    )
-    return jnp.where(program.is_truncated, lq_t, lq)
+    if program.is_truncated.any():
+        sigma_b = 1.0 / jnp.sqrt(jnp.maximum(prec_b, 1e-12))
+        sig_safe = jnp.where(program.is_truncated, sigma_b, 1.0)
+        A = (program._trunc_a_safe - mu_b) / sig_safe
+        B = (program._trunc_b_safe - mu_b) / sig_safe
+        logZ = jnp.log(jnp.maximum(jnorm.cdf(B) - jnorm.cdf(A), 1e-12))
+        lq_t = (
+            _normal_logpdf(_constrain_truncated(program, z), mu_b, prec_b)
+            - logZ
+            + _log_jac_truncated(program, z)
+        )
+        lq = jnp.where(program.is_truncated, lq_t, lq)
+    if program.is_kumaraswamy.any():
+        a_k = jnp.where(program.is_kumaraswamy, mu_b, 1.0)
+        b_k = jnp.where(program.is_kumaraswamy, prec_b, 1.0)
+        lq_k = (
+            _log_kuma_pdf(program, _constrain_kuma(program, z), a_k, b_k)
+            + _log_jac_kuma(program, z)
+        )
+        lq = jnp.where(program.is_kumaraswamy, lq_k, lq)
+    return lq
 
 
 # --------------------------------------------------------------------------- #
@@ -366,9 +429,9 @@ def hmc_refine_pooled(
     D = int(dev_np.max()) + 1
 
     gsl, csl, lsl = program.global_slice, program.global_cond_slice, program.local_slice
-    # same movable policy as _sampled_mask (Kumaraswamy sites stay frozen;
-    # truncated sites move through the bounded bijection)
-    mov = (program.is_normal_family & ~program.is_constant).astype(np.float32)
+    # same movable policy as _sampled_mask (bounded families move through
+    # the support bijections; only constants stay fixed)
+    mov = (~program.is_constant).astype(np.float32)
     idx_g, idx_c, idx_l = (np.arange(program.n_theta)[s] for s in (gsl, csl, lsl))
     mg, mc, ml = jnp.asarray(mov[gsl]), jnp.asarray(mov[csl]), jnp.asarray(mov[lsl])
     prior_mu = jnp.asarray(program.prior_mu)
