@@ -188,7 +188,7 @@ def _collect(out_dir, tag):
     return runs
 
 
-def compare(out_dir):
+def compare(out_dir, spec_label="dr_constant_one"):
     import numpy as np
 
     ref_runs = _collect(out_dir, "reference")
@@ -202,8 +202,8 @@ def compare(out_dir):
     lines = [
         "# Posterior-moment parity: reference (torch CPU) vs this repo",
         "",
-        "Spec dr_constant_one, matched regime (epochs, K, LR schedule), %d+%d seeds."
-        % (len(ref_runs), len(our_runs)),
+        "Spec %s, matched regime (epochs, K, LR schedule), %d+%d seeds."
+        % (spec_label, len(ref_runs), len(our_runs)),
         "Same numpy-seeded split => local sites compare elementwise over the",
         "validation datapoints.  z = |mean_ref - mean_ours| / sqrt(se_ref^2 + se_ours^2)",
         "with se the across-seed standard error; 'pass' = median z over elements <= 3.",
@@ -288,7 +288,10 @@ def compare(out_dir):
 def main():
     mode = sys.argv[1]
     if mode == "compare":
-        compare(sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT)
+        compare(
+            sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT,
+            sys.argv[3] if len(sys.argv) > 3 else "dr_constant_one",
+        )
         return
     seed = int(sys.argv[2])
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_EPOCHS
