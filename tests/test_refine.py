@@ -102,6 +102,33 @@ def test_hmc_refine_pooled(setup):
     assert np.isfinite(np.asarray(out.log_joint_trace)).all()
 
 
+def test_hmc_refine_pooled_mass_from_q(setup):
+    """q-preconditioned kinetic mass (mass_from_q=True): the mass matrix
+    changes mixing only, so every pooled invariant must hold unchanged —
+    shared tying exact, constants fixed, finite joint — and chains must
+    actually move under the uniform base step."""
+    program, model, params, batch = setup
+    K = 4
+    out = refine.hmc_refine_pooled(
+        model, program, params, batch, jax.random.PRNGKey(7),
+        n_chains=K, n_steps=8, n_leapfrog=3, step_scale=0.1, mass_from_q=True,
+    )
+    th = np.asarray(out.theta)
+    assert th.shape == (N, K, program.n_theta)
+    assert np.isfinite(th).all()
+    g = program.global_slice
+    np.testing.assert_array_equal(
+        th[:, :, g], np.broadcast_to(th[0:1, :, g], th[:, :, g].shape)
+    )
+    const_cols = np.where(program.is_constant)[0]
+    for c in const_cols:
+        np.testing.assert_allclose(th[:, :, c], program.const_value[c], rtol=1e-6)
+    assert np.isfinite(np.asarray(out.log_joint_trace)).all()
+    z, z0 = np.asarray(out.z), np.asarray(out.z_init)
+    mov = ~np.asarray(program.is_constant)
+    assert np.abs(z[:, :, mov] - z0[:, :, mov]).max() > 0, "chains never moved"
+
+
 def test_smc_refine(setup):
     program, model, params, batch = setup
     out = refine.smc_refine(

@@ -98,7 +98,8 @@ def run(seed, out_dir, n_steps=3000):
     res = refine.hmc_refine_pooled(
         model, program, params, batch, jax.random.PRNGKey(seed + 101),
         devices=host.devices, n_chains=16, n_steps=int(n_steps),
-        n_leapfrog=10, return_trace=True,
+        n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "16")),
+        step_scale=0.1, mass_from_q=True, return_trace=True,
     )
     nw = int(res.n_warmup)
     tc = np.asarray(res.state_trace["c"])[nw:]  # [S, D, K, nC]
@@ -167,19 +168,39 @@ def report(out_dir):
         "|---|---|---|---|---|---|---|---|---|",
     ]
     gaps = {s: [] for s in SITES}
+    stale = []
     for path in sorted(glob.glob(os.path.join(out_dir, "seed*.npz"))):
         z = np.load(path)
+        # Convergence gate: a seed only counts toward the verdict when the
+        # HMC on BOTH sites passes split-R-hat < 1.05 and ESS >= 100; a
+        # non-mixed chain's "posterior" is its init distribution (q), which
+        # would make the comparison circular.
+        ok = all(
+            float(z["%s_rhat" % s]) < 1.05 and float(z["%s_hmc_ess" % s]) >= 100
+            for s in SITES
+        )
+        if not ok:
+            stale.append(int(z["seed"]))
         for s in SITES:
             gap = abs(float(z["%s_q_mu" % s]) - float(z["%s_hmc_mean" % s]))
             rel = gap / max(float(z["%s_hmc_sd" % s]), 1e-12)
-            gaps[s].append((gap, rel, float(z["%s_hmc_mcse" % s])))
+            if ok:
+                gaps[s].append((gap, rel, float(z["%s_hmc_mcse" % s])))
             lines.append(
-                "| %d | %s | %.3f | %.3f | %.3f +- %.3f | %.3f | %.2f | %.3f | %.0f |"
+                "| %d | %s | %.3f | %.3f | %.3f +- %.3f | %.3f | %.2f | %.3f | %.0f |%s"
                 % (int(z["seed"]), s, z["%s_q_mu" % s], z["%s_q_sd" % s],
                    z["%s_hmc_mean" % s], z["%s_hmc_mcse" % s], z["%s_hmc_sd" % s],
-                   rel, z["%s_rhat" % s], z["%s_hmc_ess" % s])
+                   rel, z["%s_rhat" % s], z["%s_hmc_ess" % s],
+                   "" if ok else " GATE-FAIL (excluded)")
             )
     lines.append("")
+    if stale:
+        lines.append(
+            "Seeds %s FAIL the convergence gate (split-R-hat >= 1.05 or "
+            "ESS < 100 on a monitored site) and are EXCLUDED from the "
+            "summary below." % sorted(set(stale))
+        )
+        lines.append("")
     for s in SITES:
         if not gaps[s]:
             continue

@@ -398,6 +398,7 @@ def hmc_refine_pooled(
     step_scale=0.02,
     target_accept=0.7,
     return_trace=False,
+    mass_from_q=False,
 ):
     """Joint HMC over the FULL hierarchy: the exact posterior
     p(shared, locals | all series), pooling evidence across the dataset.
@@ -439,21 +440,45 @@ def hmc_refine_pooled(
     mu_g, pg = prior_mu[gsl], prior_prec[gsl]
     mu_c, pc = prior_mu[csl], prior_prec[csl]
     mu_l, pl = prior_mu[lsl], prior_prec[lsl]
-    im = dict(  # inverse mass per leaf (frozen coordinates never move)
-        g=jnp.where(mg > 0, 1.0 / pg, 0.0),
-        c=jnp.where(mc > 0, 1.0 / pc, 0.0),
-        l=jnp.where(ml > 0, 1.0 / pl, 0.0),
-    )
-    bs = dict(  # per-site base step = prior sigma
-        g=jnp.where(mg > 0, 1.0 / jnp.sqrt(pg), 0.0),
-        c=jnp.where(mc > 0, 1.0 / jnp.sqrt(pc), 0.0),
-        l=jnp.where(ml > 0, 1.0 / jnp.sqrt(pl), 0.0),
-    )
-
     log_lik = make_log_lik(model, program, params, batch)
     key, k0 = jax.random.split(key)
-    z0, _, _ = init_z_from_q(model, program, params, batch, k0, n_chains)  # [L,K,n]
+    z0, _, q0 = init_z_from_q(model, program, params, batch, k0, n_chains)  # [L,K,n]
     first_row = np.array([np.flatnonzero(dev_np == d)[0] for d in range(D)])
+
+    if mass_from_q:
+        # Euclidean-metric preconditioning: kinetic mass = the amortised q
+        # precision per coordinate (global q rows are replicated; local
+        # masses per series), uniform base step.  The mass matrix changes
+        # MIXING only — leapfrog stays symplectic/reversible for any fixed
+        # positive diagonal mass, so the stationary distribution is still
+        # the exact hierarchical posterior; q enters as a preconditioner,
+        # never as part of the target.  The flat prior-precision mass
+        # (below) underestimates a pooled shared site's posterior precision
+        # by ~L, which is the R-hat~22 random-walk failure observed in
+        # reports/ar_mu_ground_truth — q's precision reflects the pooled
+        # evidence and restores O(1) proposal scales in posterior units.
+        qp = jnp.maximum(q0.prec, 1e-8)
+        mp = dict(
+            g=qp[0, gsl],                                       # [nG]
+            c=qp[jnp.asarray(first_row)][:, csl][:, None, :],   # [D,1,nC]
+            l=qp[:, lsl][:, None, :],                           # [L,1,nL]
+        )
+        masks = dict(g=mg, c=mc, l=ml)
+        im = {k: jnp.where(masks[k] > 0, 1.0 / mp[k], 0.0) for k in mp}
+        bs = {k: jnp.where(masks[k] > 0, 1.0, 0.0) for k in mp}
+        p_scale = {k: jnp.where(masks[k] > 0, jnp.sqrt(mp[k]), 0.0) for k in mp}
+    else:
+        im = dict(  # inverse mass per leaf (frozen coordinates never move)
+            g=jnp.where(mg > 0, 1.0 / pg, 0.0),
+            c=jnp.where(mc > 0, 1.0 / pc, 0.0),
+            l=jnp.where(ml > 0, 1.0 / pl, 0.0),
+        )
+        bs = dict(  # per-site base step = prior sigma
+            g=jnp.where(mg > 0, 1.0 / jnp.sqrt(pg), 0.0),
+            c=jnp.where(mc > 0, 1.0 / jnp.sqrt(pc), 0.0),
+            l=jnp.where(ml > 0, 1.0 / jnp.sqrt(pl), 0.0),
+        )
+        p_scale = dict(g=jnp.sqrt(pg) * mg, c=jnp.sqrt(pc) * mc, l=jnp.sqrt(pl) * ml)
     state0 = dict(
         g=z0[0, :, gsl],                                  # [K, nG]
         c=jnp.stack([z0[r, :, csl] for r in first_row]),  # [D, K, nC]
@@ -494,9 +519,9 @@ def hmc_refine_pooled(
     def draw_p(k):
         kg, kc, kl = jax.random.split(k, 3)
         return dict(
-            g=jax.random.normal(kg, state0["g"].shape) * jnp.sqrt(pg) * mg,
-            c=jax.random.normal(kc, state0["c"].shape) * jnp.sqrt(pc) * mc,
-            l=jax.random.normal(kl, state0["l"].shape) * jnp.sqrt(pl) * ml,
+            g=jax.random.normal(kg, state0["g"].shape) * p_scale["g"],
+            c=jax.random.normal(kc, state0["c"].shape) * p_scale["c"],
+            l=jax.random.normal(kl, state0["l"].shape) * p_scale["l"],
         )
 
     def kinetic(p):  # [K]
