@@ -129,6 +129,73 @@ def test_hmc_refine_pooled_mass_from_q(setup):
     assert np.abs(z[:, :, mov] - z0[:, :, mov]).max() > 0, "chains never moved"
 
 
+def test_pm_refine_shared(setup):
+    """Correlated pseudo-marginal MH over the shared tier: shapes, shared
+    tying across series, constants fixed, chains actually move."""
+    program, model, params, batch = setup
+    K = 4
+    out = refine.pm_refine_shared(
+        model, program, params, batch, jax.random.PRNGKey(11),
+        n_chains=K, n_steps=30, n_particles=8, return_trace=True,
+    )
+    g = np.asarray(out.state["g"])
+    c = np.asarray(out.state["c"])
+    nG = program.global_slice.stop - program.global_slice.start
+    nC = program.global_cond_slice.stop - program.global_cond_slice.start
+    assert g.shape == (K, nG) and c.shape == (1, K, nC)
+    assert np.isfinite(g).all() and np.isfinite(c).all()
+    acc = np.asarray(out.accept_rate)
+    assert (acc >= 0).all() and (acc <= 1).all()
+    th = np.asarray(out.theta)
+    assert th.shape == (N, K, program.n_theta)
+    assert np.isfinite(th).all()
+    gs = program.global_slice
+    np.testing.assert_array_equal(
+        th[:, :, gs], np.broadcast_to(th[0:1, :, gs], th[:, :, gs].shape)
+    )
+    const_cols = np.where(program.is_constant)[0]
+    for cc in const_cols:
+        np.testing.assert_allclose(th[:, :, cc], program.const_value[cc], rtol=1e-6)
+    g0 = np.asarray(out.state_init["g"])
+    assert np.abs(g - g0).max() > 0, "chains never moved"
+    assert np.isfinite(np.asarray(out.log_target_trace)).all()
+
+
+def test_pm_refine_shared_null_likelihood_recovers_prior(setup, monkeypatch):
+    """Exactness check of the pseudo-marginal machinery: with the data term
+    nulled, the estimator's importance weights p(l)/q(l) still fluctuate
+    with the auxiliary u — but they are UNBIASED estimators of 1, so the
+    chain must sample exactly the shared-tier PRIOR.  Catches any bug in
+    the weight assembly, the Crank-Nicolson u move, or the accept rule
+    (each would bias the recovered moments)."""
+    program, model, params, batch = setup
+
+    def null_log_lik(model_, program_, params_, batch_):
+        def ll(theta):
+            return jnp.zeros(theta.shape[:2], jnp.float32)
+        return ll
+
+    monkeypatch.setattr(refine, "make_log_lik", null_log_lik)
+    out = refine.pm_refine_shared(
+        model, program, params, batch, jax.random.PRNGKey(12),
+        n_chains=8, n_steps=2400, n_particles=8, return_trace=True,
+    )
+    nw = int(out.n_warmup)
+    gtr = np.asarray(out.state_trace["g"])[nw:]  # [S, K, nG]
+    gsl = program.global_slice
+    mu = program.prior_mu[gsl]
+    sd = 1.0 / np.sqrt(program.prior_prec[gsl])
+    post_mu = gtr.reshape(-1, gtr.shape[-1]).mean(0)
+    post_sd = gtr.reshape(-1, gtr.shape[-1]).std(0)
+    # pooled over 8 chains x 400 draws; loose MC tolerances (RW autocorr)
+    assert (np.abs(post_mu - mu) < 0.5 * sd).all(), (
+        "prior mean not recovered: %r" % ((post_mu - mu) / sd,)
+    )
+    assert (post_sd > 0.45 * sd).all() and (post_sd < 1.8 * sd).all(), (
+        "prior sd not recovered: %r" % (post_sd / sd,)
+    )
+
+
 def test_smc_refine(setup):
     program, model, params, batch = setup
     out = refine.smc_refine(

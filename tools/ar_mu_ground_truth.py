@@ -95,14 +95,32 @@ def run(seed, out_dir, n_steps=3000):
     q_mu = np.asarray(q.mu)
     q_prec = np.asarray(q.prec)
 
-    res = refine.hmc_refine_pooled(
-        model, program, params, batch, jax.random.PRNGKey(seed + 101),
-        devices=host.devices, n_chains=16, n_steps=int(n_steps),
-        n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "16")),
-        step_scale=0.1, mass_from_q=True, return_trace=True,
-    )
+    sampler = os.environ.get("VIHDS_ARMU_SAMPLER", "pm")
+    if sampler == "pm":
+        # Correlated pseudo-marginal MH over the shared tier: the locals are
+        # integrated out by IS from the trained q, so the 27-dim shared
+        # block mixes by adaptive random walk — the pooled joint HMC
+        # random-walks on this posterior (split-R-hat ~22 at 3000 steps;
+        # the global block cannot move without coordinated local moves).
+        res = refine.pm_refine_shared(
+            model, program, params, batch, jax.random.PRNGKey(seed + 101),
+            devices=host.devices, n_chains=16, n_steps=int(n_steps),
+            n_particles=int(os.environ.get("VIHDS_ARMU_PARTICLES", "64")),
+            rho=float(os.environ.get("VIHDS_ARMU_RHO", "0.98")),
+            return_trace=True,
+        )
+        trace_c = res.state_trace["c"]
+    else:
+        res = refine.hmc_refine_pooled(
+            model, program, params, batch, jax.random.PRNGKey(seed + 101),
+            devices=host.devices, n_chains=16, n_steps=int(n_steps),
+            n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "16")),
+            step_scale=0.1, mass_from_q=True, return_trace=True,
+        )
+        trace_c = res.state_trace["c"]
     nw = int(res.n_warmup)
-    tc = np.asarray(res.state_trace["c"])[nw:]  # [S, D, K, nC]
+    tc_all = np.asarray(trace_c)  # [S_total, D, K, nC] incl. warmup
+    tc = tc_all[nw:]  # [S, D, K, nC]
     csl = program.global_cond_slice
     gc_names = [program.names[i] for i in range(csl.start, csl.stop)]
     out = {
@@ -110,7 +128,9 @@ def run(seed, out_dir, n_steps=3000):
         "best_val_elbo": float(np.asarray(results.elbo)) if results is not None else np.nan,
         "accept": float(np.asarray(res.accept_rate).mean()),
         "n_steps": int(n_steps),
+        "sampler": sampler,
     }
+    arrays = {}
     for name in SITES:
         i = program.index[name]
         ic = i - csl.start
@@ -125,8 +145,15 @@ def run(seed, out_dir, n_steps=3000):
         out["%s_hmc_ess" % name] = ac
         out["%s_hmc_mcse" % name] = float(draws.std() / max(np.sqrt(ac), 1.0))
         out["%s_rhat" % name] = split_rhat(draws)
+        # ensemble-stationarity diagnostic: chains start AT q, and the
+        # kernel leaves the exact posterior invariant — if q were the
+        # posterior, the cross-chain ensemble mean would be flat in
+        # expectation at every step (warmup included); a systematic drift
+        # away from q's mean exposes a q bias with its sign, independently
+        # of full convergence.
+        arrays["%s_ens_mu" % name] = tc_all[:, 0, :, ic].mean(axis=1)
     path = os.path.join(out_dir, "seed%d.npz" % seed)
-    np.savez(path, **out)
+    np.savez(path, **out, **arrays)
     print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()})
     print("saved", path)
 

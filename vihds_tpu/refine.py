@@ -213,20 +213,13 @@ def make_log_joint(model, program, params, batch, site_mask=None):
     return log_joint
 
 
-def init_z_from_q(model, program, params, batch, key, n_samples):
-    """Draw z ~ q in unconstrained space (q's mu/prec parameterise z directly
-    for Normal/LogNormal sites; TruncatedNormal sites draw theta by inverse
-    CDF — exactly program.sample's rule — and map through the bijection).
-    The draw is sharded over the ambient (data, sample) mesh like the
-    training u — chains/particles parallelise across chips."""
-    from vihds_tpu import parallel
-
-    q = model.encoder(params["enc"], batch)
-    u = parallel.constrain_u(
-        jax.random.normal(key, (q.mu.shape[0], n_samples, program.n_theta), jnp.float32)
-    )
-    sigma = 1.0 / jnp.sqrt(jnp.maximum(q.prec, 1e-12))
-    mu_b, prec_b, sigma_b = q.mu[:, None, :], q.prec[:, None, :], sigma[:, None, :]
+def z_from_u(program, u, mu_b, prec_b):
+    """Map standard normals u [..., n_theta] through q's reparameterisation
+    to unconstrained z (q's mu/prec parameterise z directly for
+    Normal/LogNormal sites; TruncatedNormal sites draw theta by inverse CDF
+    — exactly program.sample's rule — and map through the bijection;
+    Kumaraswamy via its inverse CDF).  mu_b/prec_b broadcast against u."""
+    sigma_b = 1.0 / jnp.sqrt(jnp.maximum(prec_b, 1e-12))
     z = mu_b + sigma_b * u
     if program.is_truncated.any():
         from jax.scipy.special import ndtri
@@ -247,6 +240,22 @@ def init_z_from_q(model, program, params, batch, key, n_samples):
             1.0 - (1.0 - v) ** (1.0 / b_k)
         ) ** (1.0 / a_k)
         z = jnp.where(program.is_kumaraswamy, unconstrain_kuma(program, x), z)
+    return z
+
+
+def init_z_from_q(model, program, params, batch, key, n_samples):
+    """Draw z ~ q in unconstrained space (see ``z_from_u`` for the
+    per-family reparameterisation rules).  The draw is sharded over the
+    ambient (data, sample) mesh like the training u — chains/particles
+    parallelise across chips."""
+    from vihds_tpu import parallel
+
+    q = model.encoder(params["enc"], batch)
+    u = parallel.constrain_u(
+        jax.random.normal(key, (q.mu.shape[0], n_samples, program.n_theta), jnp.float32)
+    )
+    mu_b, prec_b = q.mu[:, None, :], q.prec[:, None, :]
+    z = z_from_u(program, u, mu_b, prec_b)
     log_q = (log_q_z_sites(program, z, mu_b, prec_b) * _sampled_mask(program)).sum(-1)
     return z, log_q, q
 
@@ -599,6 +608,157 @@ def hmc_refine_pooled(
         # l:[S,L,K,nL]}); feeds the mixing diagnostics without materialising
         # the assembled [S, L, K, n_theta] trace
         out["state_trace"] = s_trace
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Pseudo-marginal MH over the shared tier (locals integrated out)
+# --------------------------------------------------------------------------- #
+def pm_refine_shared(
+    model,
+    program,
+    params,
+    batch,
+    key,
+    devices=None,
+    n_chains=8,
+    n_steps=2000,
+    n_particles=64,
+    rho=0.98,
+    step_scale=0.5,
+    target_accept=0.3,
+    return_trace=False,
+):
+    """Correlated pseudo-marginal MH targeting the exact MARGINAL posterior
+    of the shared tier, p(globals, conditioned | all series), with the local
+    sites integrated out by importance sampling from the trained amortised q.
+
+    Why this exists: ``hmc_refine_pooled`` targets the full joint, where a
+    shared coordinate can only move together with every series' locals — on
+    ridge-coupled posteriors the joint chain random-walks (split-R-hat ~22
+    observed at 3000 steps in reports/ar_mu_ground_truth).  Marginalising
+    the locals collapses the problem to the shared block (27 dims on
+    dr_constant), where an adaptive random-walk MH mixes routinely.
+
+    Exactness: per series, p_hat(x_s | shared) = mean_k w_k with
+    w_k = p(x_s | shared, l_k) p(l_k) / q(l_k | x_s), l_k ~ q — an unbiased
+    estimator, so the pseudo-marginal chain targets EXACTLY
+    p(shared) prod_s p(x_s | shared)  [Andrieu & Roberts 2009], under the
+    module's static-prior convention for dependent sites (the same target
+    whose joint ``hmc_refine_pooled`` samples).  q enters only as the
+    importance proposal, never the target.  The auxiliary normals u that
+    drive the particles ride in the chain state and move by a
+    Crank-Nicolson step u' = rho u + sqrt(1-rho^2) xi — reversible w.r.t.
+    N(0, I), so the acceptance ratio needs no u terms; rho near 1 correlates
+    successive estimators, which keeps the estimator-noise penalty on the
+    acceptance rate O(sqrt(1-rho^2)) instead of O(sigma_noise) [Deligiannidis
+    et al. 2018, "The correlated pseudo-marginal method"].
+
+    Returns shared-state samples {g: [K, nG], c: [D, K, nC]}, optional
+    per-step traces, and an assembled full-theta sample for API symmetry
+    with the other refiners.  Reference has no counterpart (it stops at the
+    amortised posterior, /root/reference/vihds/training.py:283-322)."""
+    L = batch.observations.shape[0]
+    raw_dev = np.zeros(L, np.int32) if devices is None else np.asarray(devices, np.int32)
+    _, dev_np = np.unique(raw_dev, return_inverse=True)
+    dev_np = dev_np.astype(np.int32)
+    dev_idx = jnp.asarray(dev_np)
+    D = int(dev_np.max()) + 1
+    first_row = np.array([np.flatnonzero(dev_np == d)[0] for d in range(D)])
+    P, K = int(n_particles), int(n_chains)
+
+    gsl, csl, lsl = program.global_slice, program.global_cond_slice, program.local_slice
+    idx_g, idx_c, idx_l = (np.arange(program.n_theta)[s] for s in (gsl, csl, lsl))
+    mov = (~program.is_constant).astype(np.float32)
+    mg, mc, ml = jnp.asarray(mov[gsl]), jnp.asarray(mov[csl]), jnp.asarray(mov[lsl])
+    nG, nC = len(idx_g), len(idx_c)
+
+    log_lik = make_log_lik(model, program, params, batch)
+    q = model.encoder(params["enc"], batch)
+    q_mu, q_prec = q.mu, jnp.maximum(q.prec, 1e-12)     # [L, n_theta]
+    mu_bb, prec_bb = q_mu[:, None, None, :], q_prec[:, None, None, :]
+    q_sig = 1.0 / jnp.sqrt(q_prec)
+    # random-walk proposal scales: q's (shared-row) sd per coordinate,
+    # scaled toward the d-dimensional optimum by step_scale via adaptation
+    sig_g = q_sig[:, gsl].mean(0)                        # [nG]
+    sig_c = q_sig[jnp.asarray(first_row)][:, csl][:, None, :]  # [D, 1, nC]
+
+    key, k0, ku0 = jax.random.split(key, 3)
+    z0, _, _ = init_z_from_q(model, program, params, batch, k0, n_chains)
+    zg0 = z0[0, :, gsl]                                  # [K, nG]
+    zc0 = jnp.stack([z0[r, :, csl] for r in first_row])  # [D, K, nC]
+    u0 = jax.random.normal(ku0, (L, K, P, program.n_theta), jnp.float32)
+
+    def assemble(zg, zc, z_loc):
+        z = z_loc                                        # [L, K, P, n]
+        z = z.at[..., gsl].set(jnp.broadcast_to(zg[None, :, None, :], (L, K, P, nG)))
+        z = z.at[..., csl].set(jnp.broadcast_to(zc[dev_idx][:, :, None, :], (L, K, P, nC)))
+        return z
+
+    def log_target(zg, zc, u):
+        z_loc = z_from_u(program, u, mu_bb, prec_bb)     # [L, K, P, n]
+        z = assemble(zg, zc, z_loc)
+        lp_th = log_lik(z.reshape(L, K * P, program.n_theta)).reshape(L, K, P)
+        lw_l = (
+            (log_prior_z_cols(program, z_loc[..., lsl], idx_l)
+             - log_q_z_sites(program, z_loc, mu_bb, prec_bb)[..., lsl]) * ml
+        ).sum(-1)                                        # [L, K, P]
+        w = jnp.nan_to_num(lp_th + lw_l, nan=-jnp.inf)
+        ll_hat = (jax.scipy.special.logsumexp(w, axis=2) - math.log(P)).sum(0)  # [K]
+        lp_g = (log_prior_z_cols(program, zg, idx_g) * mg).sum(-1)
+        lp_c = (log_prior_z_cols(program, zc, idx_c) * mc).sum(-1).sum(0)
+        return ll_hat + lp_g + lp_c
+
+    n_warmup = n_steps // 2
+    sq1r = math.sqrt(max(1.0 - rho * rho, 0.0))
+
+    def one_step(carry, inp):
+        zg, zc, u, tgt, log_eps, n_accept = carry
+        key_t, t = inp
+        kg, kc, ku, ka = jax.random.split(key_t, 4)
+        e = jnp.exp(log_eps)                             # [K]
+        zg_n = zg + e[:, None] * sig_g * mg * jax.random.normal(kg, zg.shape)
+        zc_n = zc + e[None, :, None] * sig_c * mc * jax.random.normal(kc, zc.shape)
+        u_n = rho * u + sq1r * jax.random.normal(ku, u.shape)
+        tgt_n = log_target(zg_n, zc_n, u_n)
+        log_alpha = jnp.nan_to_num(tgt_n - tgt, nan=-jnp.inf)
+        alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
+        accept = jnp.log(jax.random.uniform(ka, (K,))) < log_alpha
+        zg = jnp.where(accept[:, None], zg_n, zg)
+        zc = jnp.where(accept[None, :, None], zc_n, zc)
+        u = jnp.where(accept[None, :, None, None], u_n, u)
+        tgt = jnp.where(accept, tgt_n, tgt)
+        adapt = (t < n_warmup).astype(jnp.float32)
+        log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
+        counted = (t >= n_warmup).astype(jnp.float32)
+        out = (jnp.median(tgt), zg, zc) if return_trace else jnp.median(tgt)
+        return (zg, zc, u, tgt, log_eps, n_accept + counted * accept.astype(jnp.float32)), out
+
+    tgt0 = log_target(zg0, zc0, u0)
+    log_eps0 = jnp.full((K,), jnp.log(step_scale))
+    keys = jax.random.split(key, n_steps)
+    carry0 = (zg0, zc0, u0, tgt0, log_eps0, jnp.zeros(K))
+    (zg, zc, u, tgt, log_eps, n_accept), scanned = jax.lax.scan(
+        one_step, carry0, (keys, jnp.arange(n_steps))
+    )
+    if return_trace:
+        tgt_trace, g_trace, c_trace = scanned
+    else:
+        tgt_trace, g_trace, c_trace = scanned, None, None
+    z_final = assemble(zg, zc, z_from_u(program, u, mu_bb, prec_bb))[:, :, 0, :]
+    out = AttrDict(
+        theta=constrain_z(program, z_final),
+        state=dict(g=zg, c=zc),
+        state_init=dict(g=zg0, c=zc0),
+        accept_rate=n_accept / max(n_steps - n_warmup, 1),
+        step_size=jnp.exp(log_eps),
+        log_target=tgt,
+        log_target_trace=tgt_trace,
+        n_warmup=n_warmup,
+    )
+    if return_trace:
+        # post-accept shared states per step: g [S, K, nG], c [S, D, K, nC]
+        out["state_trace"] = dict(g=g_trace, c=c_trace)
     return out
 
 
