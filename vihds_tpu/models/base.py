@@ -224,17 +224,65 @@ class OdeModel:
             return self.eval_solver
         return self.solver
 
+    # Families with a fused Pallas kernel set (plain_kind, prec_kind) — see
+    # vihds_tpu/ops/pallas_ode.KINDS — and implement _pallas_constants.
+    pallas_kinds = None
+
+    def _pallas_constants(self, theta, treatments):
+        """Per-sample constants dict in the packed order the family's
+        kernel expects ([B, K]-broadcastable leaves)."""
+        raise NotImplementedError
+
+    def _pallas_supported(self):
+        """The fused kernels cover ConstantPrecisions and the shipped
+        NeuralPrecisions configuration (n_hidden=0, tanh, non-inverse, 4
+        outputs — the learned-precision ODE block runs in-kernel).
+        Anything else falls back to the XLA scan."""
+        p = self.precisions
+        if not p.dynamic:
+            return True
+        return (
+            isinstance(p, NeuralPrecisions)
+            and p.n_hidden < 1
+            and not p.inverse
+            and p.activation is jnp.tanh
+            and p.n_outputs == 4
+        )
+
     def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False, eval_mode=False):
         """Integrate and return x_states[B, K, S, T]
-        (parity: vihds/ode.py:66-82)."""
+        (parity: vihds/ode.py:66-82).  ``solver: pallas_<method>`` (or
+        ``eval_solver`` in eval mode) routes families that declare
+        ``pallas_kinds`` through the fused VMEM-resident differentiable
+        Pallas integrator."""
         n_batch = treatments.shape[0]
+        method = self._solver_for(eval_mode)
+        if method.startswith("pallas_") and self.pallas_kinds and self._pallas_supported():
+            from vihds_tpu.ops import pallas_ode
+
+            dynamic = self.precisions.dynamic
+            kind = self.pallas_kinds[1 if dynamic else 0]
+            n_states = self.n_species + (4 if dynamic else 0)
+            y0 = jnp.broadcast_to(
+                self.initialize_state(params, theta, treatments, n_batch, n_iwae),
+                (n_batch, n_iwae, n_states),
+            )
+            sol = pallas_ode.simulate_kind(
+                kind,
+                self._pallas_constants(theta, treatments),
+                y0,
+                times,
+                method=method[len("pallas_"):],
+                prec_params=params.get("precisions") if dynamic else None,
+            )
+            return jnp.transpose(sol, (1, 2, 3, 0))
         init_state = self.initialize_state(params, theta, treatments, n_batch, n_iwae)
         rhs = self.make_rhs(params, theta, treatments, dev_1hot)
         sol = integrate(
             rhs,
             init_state,
             times,
-            method=self._solver_for(eval_mode),
+            method=method,
             checkpoint=checkpoint,
             adjoint=self.adjoint,
         )  # [T, B, K, S]

@@ -105,6 +105,13 @@ class Degrader_Constant(OdeModel):
     def initialize_state(self, params, theta, treatments, n_batch, n_iwae):
         return self._mech_state0(theta, treatments, n_batch, n_iwae)
 
+    # Fused Pallas route (vihds_tpu/ops/pallas_ode.py; generic routing in
+    # OdeModel.simulate)
+    pallas_kinds = ("degrader", "degrader_prec")
+
+    def _pallas_constants(self, theta, treatments):
+        return _degrader_constants(theta, treatments)
+
     def make_rhs(self, params, theta, treatments, dev_1hot):
         c = _degrader_constants(theta, treatments)
         prec_params = params.get("precisions", {})

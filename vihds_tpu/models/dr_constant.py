@@ -130,52 +130,12 @@ class DR_Constant(OdeModel):
 
         return rhs
 
-    def _pallas_supported(self):
-        """The fused kernel covers ConstantPrecisions (8 states) and the
-        shipped NeuralPrecisions configuration (n_hidden=0, tanh,
-        non-inverse; 12 states).  Anything else falls back to the XLA scan."""
-        p = self.precisions
-        if not p.dynamic:
-            return True
-        return (
-            isinstance(p, NeuralPrecisions)
-            and p.n_hidden < 1
-            and not p.inverse
-            and p.activation is jnp.tanh
-            and p.n_outputs == 4
-        )
+    # Fused Pallas route (vihds_tpu/ops/pallas_ode.py; the generic routing
+    # lives in OdeModel.simulate)
+    pallas_kinds = ("dr", "dr_prec")
 
-    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False, eval_mode=False):
-        """Route ``solver: pallas_<method>`` (or ``eval_solver`` in eval mode)
-        to the fused VMEM-resident differentiable Pallas integrator."""
-        method = self._solver_for(eval_mode)
-        if method.startswith("pallas_") and self._pallas_supported():
-            from vihds_tpu.ops import pallas_ode
-
-            n_batch = treatments.shape[0]
-            c = _dr_constants(theta, treatments, self.version)
-            n_states = self.n_species + (4 if self.precisions.dynamic else 0)
-            y0 = jnp.broadcast_to(
-                self.initialize_state(params, theta, treatments, n_batch, n_iwae),
-                (n_batch, n_iwae, n_states),
-            )
-            if self.precisions.dynamic:
-                sol = pallas_ode.dr_constant_precisions_simulate(
-                    c, params["precisions"], y0, times, method=method[len("pallas_"):]
-                )
-            else:
-                sol = pallas_ode.dr_constant_simulate(c, y0, times, method=method[len("pallas_"):])
-            return jnp.transpose(sol, (1, 2, 3, 0))
-        return super().simulate(
-            params,
-            theta,
-            times,
-            treatments,
-            dev_1hot,
-            n_iwae,
-            checkpoint=checkpoint,
-            eval_mode=eval_mode,
-        )
+    def _pallas_constants(self, theta, treatments):
+        return _dr_constants(theta, treatments, self.version)
 
 
 class DR_Constant_V2(DR_Constant):

@@ -1,18 +1,31 @@
-"""Pallas TPU kernel: fused ODE integration for the dr_constant family.
+"""Pallas TPU kernels: fused ODE integration for the mechanistic families.
 
-The whole 85-step time loop runs inside ONE kernel with the state and all
+The whole time loop runs inside ONE kernel with the state and all
 theta-derived constants resident in VMEM; HBM sees only the initial state,
 the packed constants, and the trajectory writes.  This is the "fused RHS-eval
-+ solver-step kernel" called out in SURVEY.md §2.3/§7 as the Pallas target
-for this model class.
++ solver-step kernel" called out in SURVEY.md §2.3/§7 for this model class.
 
 Measured context (BASELINE.md): XLA already fuses each scan step well — this
 kernel exists to squeeze the remaining per-step loop overhead.  It is fully
 differentiable: reverse mode rides an in-kernel backward sweep that re-traces
 each step's VJP against the VMEM-resident trajectory, so solver residuals
-never touch HBM.  Two variants: the plain 8-state dr_constant family ("dr")
-and the 12-state *_precisions family ("dr_prec", learned-precision ODE states
-with the n_hidden=0 NeuralPrecisions block in-kernel).
+never touch HBM.  Covered families (every mechanistic per-row-constants RHS
+in the zoo — reference models/dr_constant.py, models/relay_constant.py,
+models/degrader_constant.py):
+
+  kind            states  family
+  "dr"            8       dr_constant v1/v2 (version lives in frac* host-side)
+  "dr_prec"       12      dr_constant_precisions v1/v2
+  "relay"         12      relay_constant
+  "relay_prec"    16      relay_constant_precisions
+  "degrader"      11      degrader_constant
+  "degrader_prec" 15      degrader_constant_precisions
+
+The *_prec variants carry the n_hidden=0 NeuralPrecisions block in-kernel
+(4 learned-precision ODE states; weights ride the packed constants).  The
+black-box family (shared-weight hidden-layer matmuls, reference
+models/dr_blackbox.py) is NOT a per-row-elementwise workload and keeps the
+XLA scan path (xplane evidence: reports/trainstep_profile/REPORT.md).
 
 Layout: samples are flattened to rows R = B*K and blocked over a 1-D grid;
 each grid cell integrates ``block_rows`` rows for all T steps.  Constants are
@@ -54,14 +67,85 @@ DR_CONST_NAMES = (
     "fracLuxR",
     "fracLasR",
 )
-N_SPECIES = 8
+N_SPECIES = 8  # dr_constant mechanistic states
 N_PREC = 4  # learned-precision ODE states in the *_precisions variants
-N_PREC_IN = N_SPECIES + 1  # precision-net input: [t, species...]
+N_PREC_IN = N_SPECIES + 1  # dr precision-net input: [t, species...]
+
+# relay_constant: + synthases LuxI/LasI and secreted C6/C12
+# (reference models/relay_constant.py:60-120)
+RELAY_CONST_NAMES = (
+    "r",
+    "K",
+    "tlag",
+    "rc",
+    "a530",
+    "a480",
+    "drfp",
+    "dyfp",
+    "dcfp",
+    "dR",
+    "dS",
+    "dluxI",
+    "dlasI",
+    "e76",
+    "e81",
+    "aCFP",
+    "aYFP",
+    "KGR_76",
+    "KGS_76",
+    "KGR_81",
+    "KGS_81",
+    "KC6",
+    "KC12",
+    "Klux",
+    "Klas",
+    "aR",
+    "aS",
+    "fracLuxR",
+    "fracLasR",
+)
+RELAY_SPECIES = 12
+
+# degrader_constant: + AiiA lactonase degrading C6/C12, PBAD arabinose input
+# (reference models/degrader_constant.py:60-130; PBAD/rC6/rC12 precomputed
+# host-side like frac*)
+DEGRADER_CONST_NAMES = (
+    "r",
+    "K",
+    "tlag",
+    "rc",
+    "a530",
+    "a480",
+    "drfp",
+    "dyfp",
+    "dcfp",
+    "dR",
+    "dS",
+    "e76",
+    "e81",
+    "aCFP",
+    "aYFP",
+    "KGR_76",
+    "KGS_76",
+    "KGR_81",
+    "KGS_81",
+    "aR",
+    "aS",
+    "aI",
+    "daiiA",
+    "PBAD",
+    "rC6",
+    "rC12",
+    "fracLuxR",
+    "fracLasR",
+)
+DEGRADER_SPECIES = 11
 
 
-def _prec_weight_names():
+def _prec_weight_names(n_in=N_PREC_IN):
     """Flattened NeuralPrecisions(n_hidden=0) weights as pseudo-constant
-    names.  Each weight/bias rides the packed-constants array as one more
+    names for a net with ``n_in`` inputs ([t, species...]).  Each
+    weight/bias rides the packed-constants array as one more
     [block]-broadcast row, so the backward kernel's per-constant cotangent
     accumulation yields weight gradients with no extra machinery (the
     host-side broadcast_to VJP then sums them over the sample rows)."""
@@ -69,7 +153,7 @@ def _prec_weight_names():
     for net in ("prod", "degr"):
         for j in range(N_PREC):
             names.append("b_%s_%d" % (net, j))
-            for i in range(N_PREC_IN):
+            for i in range(n_in):
                 names.append("w_%s_%d_%d" % (net, j, i))
     return tuple(names)
 
@@ -107,45 +191,129 @@ def _dr_rhs_cols(c, t, y):
     )
 
 
-def _dr_prec_rhs_cols(c, t, y):
-    """dr_constant_precisions RHS on [12, block] columns: 8 mechanistic
-    species + 4 learned-precision states with
-    dprec_j/dt = sigmoid(Wp_j . tanh([t, s]) + bp_j)
-              - sigmoid(Wd_j . tanh([t, s]) + bd_j) * prec_j
-    — the NeuralPrecisions(n_hidden=0, tanh, non-inverse) block
-    (vihds_tpu/models/base.py:84-102; reference vihds/precisions.py:76-87).
-    The tiny [9 -> 4] affine maps are unrolled into vector FMAs on the
-    weight rows (MXU would waste a full tile on a 9x4 matmul).
-
-    Numerical note (measured on v5e): the 8 mechanistic species are
-    BIT-EXACT vs the XLA scan path; the 4 precision states agree to ~2e-2
-    pointwise relative / ~7e-4 relative-to-range — Mosaic's tanh/sigmoid
-    differ from XLA's by float32 ULPs, and prec states span ~1e6 with
-    stiff xd*prec dynamics that amplify them over 85 steps.  Both paths
-    are equally valid float32 integrations of the same ODE."""
-    dX = _dr_rhs_cols(c, t, y)
-    h = [jnp.tanh(t)] + [jnp.tanh(y[i, :]) for i in range(N_SPECIES)]
-    gate = {}
-    for net in ("prod", "degr"):
-        for j in range(N_PREC):
-            acc = c["b_%s_%d" % (net, j)]
-            for i in range(N_PREC_IN):
-                acc = acc + c["w_%s_%d_%d" % (net, j, i)] * h[i]
-            gate[(net, j)] = jax.nn.sigmoid(acc)
-    dV = jnp.stack(
+def _relay_rhs_cols(c, t, y):
+    """relay_constant RHS on [12, block] columns.  Same math as
+    vihds_tpu/models/relay_constant.py:make_rhs (reference
+    models/relay_constant.py:104-146): dr_constant's 8 species + synthases
+    LuxI/LasI and secreted C6/C12 (the treatment columns become dynamic
+    states; fracLuxR/fracLasR stay at the initial treatments, matching the
+    scan path)."""
+    x = y[0, :]
+    luxR, lasR, luxI, lasI = y[6, :], y[7, :], y[8, :], y[9, :]
+    gr = c["r"] * jax.nn.sigmoid(4.0 * (t - c["tlag"]))
+    gamma = gr * (1.0 - x / c["K"])
+    boundLuxR = luxR * luxR * c["fracLuxR"]
+    boundLasR = lasR * lasR * c["fracLasR"]
+    denom76 = 1.0 + c["KGR_76"] * boundLuxR + c["KGS_76"] * boundLasR
+    denom81 = 1.0 + c["KGR_81"] * boundLuxR + c["KGS_81"] * boundLasR
+    P76 = (c["e76"] + c["KGR_76"] * boundLuxR + c["KGS_76"] * boundLasR) / denom76
+    P81 = (c["e81"] + c["KGR_81"] * boundLuxR + c["KGS_81"] * boundLasR) / denom81
+    return jnp.stack(
         [
-            gate[("prod", j)] - gate[("degr", j)] * y[N_SPECIES + j, :]
-            for j in range(N_PREC)
+            gamma * x,
+            c["rc"] - (gamma + c["drfp"]) * y[1, :],
+            c["rc"] * c["aYFP"] * P81 - (gamma + c["dyfp"]) * y[2, :],
+            c["rc"] * c["aCFP"] * P76 - (gamma + c["dcfp"]) * y[3, :],
+            c["rc"] * c["a530"] - gamma * y[4, :],
+            c["rc"] * c["a480"] - gamma * y[5, :],
+            c["rc"] * c["aR"] - (gamma + c["dR"]) * luxR,
+            c["rc"] * c["aS"] - (gamma + c["dS"]) * lasR,
+            c["rc"] * P81 - (gamma + c["dluxI"]) * luxI,
+            c["rc"] * P76 - (gamma + c["dlasI"]) * lasI,
+            (c["KC6"] * c["rc"] * x * luxI) / (1.0 + luxI / c["Klux"]),
+            (c["KC12"] * c["rc"] * x * lasI) / (1.0 + lasI / c["Klas"]),
         ],
         axis=0,
     )
-    return jnp.concatenate([dX, dV], axis=0)
 
+
+def _degrader_rhs_cols(c, t, y):
+    """degrader_constant RHS on [11, block] columns.  Same math as
+    vihds_tpu/models/degrader_constant.py:make_rhs (reference
+    models/degrader_constant.py:108-147): dr_constant's 8 species + AiiA
+    (PBAD-driven lactonase) and degrading C6/C12 states."""
+    x = y[0, :]
+    luxR, lasR, aiiA = y[6, :], y[7, :], y[8, :]
+    gr = c["r"] * jax.nn.sigmoid(4.0 * (t - c["tlag"]))
+    gamma = gr * (1.0 - x / c["K"])
+    boundLuxR = luxR * luxR * c["fracLuxR"]
+    boundLasR = lasR * lasR * c["fracLasR"]
+    denom76 = 1.0 + c["KGR_76"] * boundLuxR + c["KGS_76"] * boundLasR
+    denom81 = 1.0 + c["KGR_81"] * boundLuxR + c["KGS_81"] * boundLasR
+    P76 = (c["e76"] + c["KGR_76"] * boundLuxR + c["KGS_76"] * boundLasR) / denom76
+    P81 = (c["e81"] + c["KGR_81"] * boundLuxR + c["KGS_81"] * boundLasR) / denom81
+    return jnp.stack(
+        [
+            gamma * x,
+            c["rc"] - (gamma + c["drfp"]) * y[1, :],
+            c["rc"] * c["aYFP"] * P81 - (gamma + c["dyfp"]) * y[2, :],
+            c["rc"] * c["aCFP"] * P76 - (gamma + c["dcfp"]) * y[3, :],
+            c["rc"] * c["a530"] - gamma * y[4, :],
+            c["rc"] * c["a480"] - gamma * y[5, :],
+            c["rc"] * c["aR"] - (gamma + c["dR"]) * luxR,
+            c["rc"] * c["aS"] - (gamma + c["dS"]) * lasR,
+            c["rc"] * c["aI"] * c["PBAD"] - (c["daiiA"] + gamma * aiiA),
+            x * c["rC6"] * aiiA,
+            x * c["rC12"] * aiiA,
+        ],
+        axis=0,
+    )
+
+
+def _with_precisions(base_rhs, n_sp):
+    """Wrap a mechanistic column RHS with the in-kernel
+    NeuralPrecisions(n_hidden=0, tanh, non-inverse) block: 4 extra states
+    dprec_j/dt = sigmoid(Wp_j . tanh([t, s]) + bp_j)
+              - sigmoid(Wd_j . tanh([t, s]) + bd_j) * prec_j
+    (vihds_tpu/models/base.py:90-108; reference vihds/precisions.py:76-87).
+    The tiny [n_sp+1 -> 4] affine maps are unrolled into vector FMAs on the
+    weight rows (MXU would waste a full tile on the matmul).
+
+    Numerical note (measured on v5e, dr family): the mechanistic species
+    are BIT-EXACT vs the XLA scan path; the 4 precision states agree to
+    ~2e-2 pointwise relative / ~7e-4 relative-to-range — Mosaic's
+    tanh/sigmoid differ from XLA's by float32 ULPs, and prec states span
+    ~1e6 with stiff xd*prec dynamics that amplify them over the time loop.
+    Both paths are equally valid float32 integrations of the same ODE."""
+    n_in = n_sp + 1
+
+    def rhs(c, t, y):
+        dX = base_rhs(c, t, y)
+        h = [jnp.tanh(t)] + [jnp.tanh(y[i, :]) for i in range(n_sp)]
+        gate = {}
+        for net in ("prod", "degr"):
+            for j in range(N_PREC):
+                acc = c["b_%s_%d" % (net, j)]
+                for i in range(n_in):
+                    acc = acc + c["w_%s_%d_%d" % (net, j, i)] * h[i]
+                gate[(net, j)] = jax.nn.sigmoid(acc)
+        dV = jnp.stack(
+            [gate[("prod", j)] - gate[("degr", j)] * y[n_sp + j, :] for j in range(N_PREC)],
+            axis=0,
+        )
+        return jnp.concatenate([dX, dV], axis=0)
+
+    return rhs
+
+
+_dr_prec_rhs_cols = _with_precisions(_dr_rhs_cols, N_SPECIES)
 
 # kind -> (packed-constant order, state rows, column RHS)
 KINDS = {
     "dr": (DR_CONST_NAMES, N_SPECIES, _dr_rhs_cols),
     "dr_prec": (DR_PREC_CONST_NAMES, N_SPECIES + N_PREC, _dr_prec_rhs_cols),
+    "relay": (RELAY_CONST_NAMES, RELAY_SPECIES, _relay_rhs_cols),
+    "relay_prec": (
+        RELAY_CONST_NAMES + _prec_weight_names(RELAY_SPECIES + 1),
+        RELAY_SPECIES + N_PREC,
+        _with_precisions(_relay_rhs_cols, RELAY_SPECIES),
+    ),
+    "degrader": (DEGRADER_CONST_NAMES, DEGRADER_SPECIES, _degrader_rhs_cols),
+    "degrader_prec": (
+        DEGRADER_CONST_NAMES + _prec_weight_names(DEGRADER_SPECIES + 1),
+        DEGRADER_SPECIES + N_PREC,
+        _with_precisions(_degrader_rhs_cols, DEGRADER_SPECIES),
+    ),
 }
 
 
@@ -312,26 +480,83 @@ def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512
     return _simulate("dr", constants, y0, times, method, block_rows, interpret)
 
 
+def _pack_prec(constants, prec_params, n_in):
+    """Join the NeuralPrecisions(n_hidden=0) weights to the constants dict
+    as scalar pseudo-constants.  The weights become broadcast rows of the
+    packed array, so the backward kernel's constant-cotangent accumulation
+    produces weight gradients and the host-side broadcast VJP reduces them
+    over the sample rows.  ``prec_params``: {'prod': {'w': [n_in, 4],
+    'b': [4]}, 'degr': {...}}."""
+    c = dict(constants)
+    for net in ("prod", "degr"):
+        w, b = prec_params[net]["w"], prec_params[net]["b"]
+        for j in range(N_PREC):
+            c["b_%s_%d" % (net, j)] = b[j]
+            for i in range(n_in):
+                c["w_%s_%d_%d" % (net, j, i)] = w[i, j]
+    return c
+
+
 def dr_constant_precisions_simulate(
     constants, prec_params, y0, times, method="midpoint", block_rows=256, interpret=False
 ):
     """Fused integration of the dr_constant_precisions family (8 mechanistic
     + 4 learned-precision states; NeuralPrecisions with n_hidden=0, tanh
     activation, non-inverse — the shipped specs/dr_constant_precisions.yaml
-    configuration).  ``prec_params``: {'prod': {'w': [9, 4], 'b': [4]},
-    'degr': {...}}; ``y0``: [B, K, 12]; returns [T, B, K, 12].
+    configuration).  ``y0``: [B, K, 12]; returns [T, B, K, 12].
 
-    The weights join the packed constants as broadcast rows, so the backward
-    kernel's constant-cotangent accumulation produces weight gradients and
-    the host-side broadcast VJP reduces them over the sample rows.  Smaller
-    default block than the plain kernel: 12 state rows x T trajectory +
-    cotangents must stay VMEM-resident in the backward sweep.
+    Smaller default block than the plain kernel: 12 state rows x T
+    trajectory + cotangents must stay VMEM-resident in the backward sweep.
     """
-    c = dict(constants)
-    for net in ("prod", "degr"):
-        w, b = prec_params[net]["w"], prec_params[net]["b"]
-        for j in range(N_PREC):
-            c["b_%s_%d" % (net, j)] = b[j]
-            for i in range(N_PREC_IN):
-                c["w_%s_%d_%d" % (net, j, i)] = w[i, j]
+    c = _pack_prec(constants, prec_params, N_PREC_IN)
     return _simulate("dr_prec", c, y0, times, method, block_rows, interpret)
+
+
+def relay_constant_simulate(constants, y0, times, method="midpoint", block_rows=512, interpret=False):
+    """Fused integration of the 12-state relay_constant family; same layout
+    contract as ``dr_constant_simulate``."""
+    return _simulate("relay", constants, y0, times, method, block_rows, interpret)
+
+
+def relay_constant_precisions_simulate(
+    constants, prec_params, y0, times, method="midpoint", block_rows=256, interpret=False
+):
+    """Fused relay_constant_precisions (12 mechanistic + 4 learned-precision
+    states); ``y0``: [B, K, 16]; returns [T, B, K, 16]."""
+    c = _pack_prec(constants, prec_params, RELAY_SPECIES + 1)
+    return _simulate("relay_prec", c, y0, times, method, block_rows, interpret)
+
+
+def degrader_constant_simulate(constants, y0, times, method="midpoint", block_rows=512, interpret=False):
+    """Fused integration of the 11-state degrader_constant family; same
+    layout contract as ``dr_constant_simulate``."""
+    return _simulate("degrader", constants, y0, times, method, block_rows, interpret)
+
+
+def degrader_constant_precisions_simulate(
+    constants, prec_params, y0, times, method="midpoint", block_rows=256, interpret=False
+):
+    """Fused degrader_constant_precisions (11 mechanistic + 4
+    learned-precision states); ``y0``: [B, K, 15]; returns [T, B, K, 15]."""
+    c = _pack_prec(constants, prec_params, DEGRADER_SPECIES + 1)
+    return _simulate("degrader_prec", c, y0, times, method, block_rows, interpret)
+
+
+def simulate_kind(kind, constants, y0, times, method="midpoint", prec_params=None, interpret=False):
+    """Family dispatcher used by OdeModel's generic pallas route.  Resolves
+    the per-family wrapper through the module namespace so tests (and
+    callers) can monkeypatch an individual family's entry point."""
+    import vihds_tpu.ops.pallas_ode as me
+
+    fns = {
+        "dr": me.dr_constant_simulate,
+        "dr_prec": me.dr_constant_precisions_simulate,
+        "relay": me.relay_constant_simulate,
+        "relay_prec": me.relay_constant_precisions_simulate,
+        "degrader": me.degrader_constant_simulate,
+        "degrader_prec": me.degrader_constant_precisions_simulate,
+    }
+    fn = fns[kind]
+    if kind.endswith("_prec"):
+        return fn(constants, prec_params, y0, times, method=method, interpret=interpret)
+    return fn(constants, y0, times, method=method, interpret=interpret)
