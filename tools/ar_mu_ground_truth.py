@@ -130,6 +130,8 @@ def run(seed, out_dir, n_steps=3000):
         "n_steps": int(n_steps),
         "sampler": sampler,
     }
+    if "accept_rate_u" in res:
+        out["accept_u"] = float(np.asarray(res.accept_rate_u).mean())
     arrays = {}
     for name in SITES:
         i = program.index[name]
@@ -237,6 +239,42 @@ def report(out_dir):
             "battery shift for comparison: 0.57 (aR)."
             % (s, float(np.mean([g for g, _, _ in gaps[s]])), float(np.mean(rels)))
         )
+    # Ensemble-stationarity drift: chains start AT q and the kernel leaves
+    # the exact posterior invariant, so if q matched the posterior the
+    # cross-chain ensemble mean would be flat (in expectation) at every
+    # step.  Convergence-independent: a systematic early-steps drift away
+    # from q's mean exposes a q bias with its sign even when R-hat has not
+    # closed.  MCSE from the late-window step-to-step spread (conservative:
+    # the ensemble mean is autocorrelated, so spread/sqrt(n_eff<n) is
+    # larger than the naive SE; we quote the raw late-window sd instead).
+    drift_lines = [
+        "",
+        "## Ensemble-stationarity drift (per seed, z-space)",
+        "",
+        "| seed | site | q mu | ens mean (first 5%) | ens mean (last 20%) | late sd(ens) | drift / HMC sd |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    have_any = False
+    for path in sorted(glob.glob(os.path.join(out_dir, "seed*.npz"))):
+        z = np.load(path)
+        for s in SITES:
+            key = "%s_ens_mu" % s
+            if key not in z.files:
+                continue
+            have_any = True
+            ens = np.asarray(z[key])
+            n = ens.shape[0]
+            early = float(ens[: max(n // 20, 1)].mean())
+            late_w = ens[-max(n // 5, 1):]
+            late = float(late_w.mean())
+            drift = (late - float(z["%s_q_mu" % s])) / max(float(z["%s_hmc_sd" % s]), 1e-12)
+            drift_lines.append(
+                "| %d | %s | %.3f | %.3f | %.3f | %.3f | %+.2f |"
+                % (int(z["seed"]), s, z["%s_q_mu" % s], early, late,
+                   float(late_w.std()), drift)
+            )
+    if have_any:
+        lines.extend(drift_lines)
     report_path = os.path.join(out_dir, "REPORT.md")
     with open(report_path, "w") as f:
         f.write("\n".join(lines) + "\n")

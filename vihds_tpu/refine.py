@@ -642,17 +642,30 @@ def pm_refine_shared(
 
     Exactness: per series, p_hat(x_s | shared) = mean_k w_k with
     w_k = p(x_s | shared, l_k) p(l_k) / q(l_k | x_s), l_k ~ q — an unbiased
-    estimator, so the pseudo-marginal chain targets EXACTLY
-    p(shared) prod_s p(x_s | shared)  [Andrieu & Roberts 2009], under the
-    module's static-prior convention for dependent sites (the same target
-    whose joint ``hmc_refine_pooled`` samples).  q enters only as the
-    importance proposal, never the target.  The auxiliary normals u that
-    drive the particles ride in the chain state and move by a
-    Crank-Nicolson step u' = rho u + sqrt(1-rho^2) xi — reversible w.r.t.
-    N(0, I), so the acceptance ratio needs no u terms; rho near 1 correlates
-    successive estimators, which keeps the estimator-noise penalty on the
-    acceptance rate O(sqrt(1-rho^2)) instead of O(sigma_noise) [Deligiannidis
-    et al. 2018, "The correlated pseudo-marginal method"].
+    estimator, so the chain targets EXACTLY p(shared) prod_s p(x_s | shared)
+    [Andrieu & Roberts 2009], under the module's static-prior convention for
+    dependent sites (the same target whose joint ``hmc_refine_pooled``
+    samples).  q enters only as the importance proposal, never the target.
+
+    Kernel: two alternating MH blocks on the EXTENDED target
+    pi(z, u) ∝ p(z) p_hat(x | z, u) N(u; 0, I), whose u-marginal is the
+    exact shared posterior (E_u[p_hat] = p(x|z)):
+
+      A. shared move, u FIXED — the particles (locals are z-independent
+         q draws driven by u) are identical on both sides, so the
+         importance-sampling noise cancels exactly and the block behaves
+         like plain adaptive RW-MH on a smooth surface;
+      B. particle refresh u' = rho u + sqrt(1-rho^2) xi (Crank-Nicolson,
+         reversible w.r.t. N(0, I)), shared FIXED — re-randomises the
+         estimator; rho near 1 keeps the log-p_hat innovation
+         O(sqrt(1-rho^2) sigma_noise), so the block accepts routinely
+         [Deligiannidis et al. 2018, the correlated pseudo-marginal method].
+
+    A single joint (z, u) proposal was measured to collapse (acceptance
+    5e-4 on the trained dr_constant_one decoder: the full estimator
+    innovation ~ sigma_noise lands in every acceptance ratio); the
+    two-block composition is the standard fix and both blocks leave pi(z,u)
+    invariant, so exactness is unchanged.
 
     Returns shared-state samples {g: [K, nG], c: [D, K, nC]}, optional
     per-step traces, and an assembled full-theta sample for API symmetry
@@ -713,32 +726,70 @@ def pm_refine_shared(
     sq1r = math.sqrt(max(1.0 - rho * rho, 0.0))
 
     def one_step(carry, inp):
-        zg, zc, u, tgt, log_eps, n_accept = carry
+        zg, zc, u, tgt, log_eps, n_accept, n_accept_u, stats = carry
         key_t, t = inp
-        kg, kc, ku, ka = jax.random.split(key_t, 4)
+        kg, kc, ka, ku, kb = jax.random.split(key_t, 5)
+        # Adaptive-Metropolis proposal shape [Haario et al. 2001]: during
+        # warmup the per-coordinate scale follows the chains' own empirical
+        # sd (cross-chain + cross-step second moments), falling back to q's
+        # sd until enough draws accumulated; frozen after warmup (the carry
+        # stops updating), so the post-warmup chain is a fixed-kernel MH.
+        n_obs, s1g, s2g, s1c, s2c = stats
+        var_g = jnp.maximum(s2g / n_obs - (s1g / n_obs) ** 2, 1e-12)
+        var_c = jnp.maximum(s2c / n_obs - (s1c / n_obs) ** 2, 1e-12)
+        ready = (n_obs >= 50.0 * K).astype(jnp.float32)
+        pg_sig = ready * jnp.sqrt(var_g) + (1.0 - ready) * sig_g
+        pc_sig = ready * jnp.sqrt(var_c) + (1.0 - ready) * sig_c
+        # A: shared-block RW move, particles fixed (IS noise cancels)
         e = jnp.exp(log_eps)                             # [K]
-        zg_n = zg + e[:, None] * sig_g * mg * jax.random.normal(kg, zg.shape)
-        zc_n = zc + e[None, :, None] * sig_c * mc * jax.random.normal(kc, zc.shape)
-        u_n = rho * u + sq1r * jax.random.normal(ku, u.shape)
-        tgt_n = log_target(zg_n, zc_n, u_n)
+        zg_n = zg + e[:, None] * pg_sig * mg * jax.random.normal(kg, zg.shape)
+        zc_n = zc + e[None, :, None] * pc_sig * mc * jax.random.normal(kc, zc.shape)
+        tgt_n = log_target(zg_n, zc_n, u)
         log_alpha = jnp.nan_to_num(tgt_n - tgt, nan=-jnp.inf)
         alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
         accept = jnp.log(jax.random.uniform(ka, (K,))) < log_alpha
         zg = jnp.where(accept[:, None], zg_n, zg)
         zc = jnp.where(accept[None, :, None], zc_n, zc)
-        u = jnp.where(accept[None, :, None, None], u_n, u)
         tgt = jnp.where(accept, tgt_n, tgt)
+        # B: Crank-Nicolson particle refresh, shared fixed
+        u_n = rho * u + sq1r * jax.random.normal(ku, u.shape)
+        tgt_u = log_target(zg, zc, u_n)
+        log_beta = jnp.nan_to_num(tgt_u - tgt, nan=-jnp.inf)
+        accept_u = jnp.log(jax.random.uniform(kb, (K,))) < log_beta
+        u = jnp.where(accept_u[None, :, None, None], u_n, u)
+        tgt = jnp.where(accept_u, tgt_u, tgt)
+        # adaptation (z-block scalar step + proposal-shape stats), warmup only
         adapt = (t < n_warmup).astype(jnp.float32)
         log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
+        stats = (
+            n_obs + adapt * K,
+            s1g + adapt * zg.sum(0),
+            s2g + adapt * (zg ** 2).sum(0),
+            s1c + adapt * zc.sum(1, keepdims=True),
+            s2c + adapt * (zc ** 2).sum(1, keepdims=True),
+        )
         counted = (t >= n_warmup).astype(jnp.float32)
         out = (jnp.median(tgt), zg, zc) if return_trace else jnp.median(tgt)
-        return (zg, zc, u, tgt, log_eps, n_accept + counted * accept.astype(jnp.float32)), out
+        carry = (
+            zg, zc, u, tgt, log_eps,
+            n_accept + counted * accept.astype(jnp.float32),
+            n_accept_u + counted * accept_u.astype(jnp.float32),
+            stats,
+        )
+        return carry, out
 
     tgt0 = log_target(zg0, zc0, u0)
     log_eps0 = jnp.full((K,), jnp.log(step_scale))
     keys = jax.random.split(key, n_steps)
-    carry0 = (zg0, zc0, u0, tgt0, log_eps0, jnp.zeros(K))
-    (zg, zc, u, tgt, log_eps, n_accept), scanned = jax.lax.scan(
+    stats0 = (
+        jnp.asarray(1e-6),
+        jnp.zeros_like(zg0[0]),
+        jnp.zeros_like(zg0[0]),
+        jnp.zeros_like(zc0[:, :1, :]),
+        jnp.zeros_like(zc0[:, :1, :]),
+    )
+    carry0 = (zg0, zc0, u0, tgt0, log_eps0, jnp.zeros(K), jnp.zeros(K), stats0)
+    (zg, zc, u, tgt, log_eps, n_accept, n_accept_u, _), scanned = jax.lax.scan(
         one_step, carry0, (keys, jnp.arange(n_steps))
     )
     if return_trace:
@@ -751,6 +802,7 @@ def pm_refine_shared(
         state=dict(g=zg, c=zc),
         state_init=dict(g=zg0, c=zc0),
         accept_rate=n_accept / max(n_steps - n_warmup, 1),
+        accept_rate_u=n_accept_u / max(n_steps - n_warmup, 1),
         step_size=jnp.exp(log_eps),
         log_target=tgt,
         log_target_trace=tgt_trace,
