@@ -342,6 +342,119 @@ def test_pallas_relay_routing(setup_relay):
         ode.solver = old
 
 
+@pytest.fixture(scope="module")
+def setup_blackbox():
+    args = make_args(spec("dr_blackbox_icml.yaml"))
+    settings = Config(args)
+    data = build_datasets(args, settings)
+    program = ParamProgram(parse_parameters(settings.params))
+    model = VAE(settings, data, program)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = batch_arrays(data.train.dataset.select(np.arange(3)))
+    q = model.encoder(params["enc"], batch)
+    u = model.sample_u(jax.random.PRNGKey(1), 3, 4)
+    th = program.theta_dict(program.clip(program.sample(q, u), stddevs=4))
+    th = model.ode_model.condition_theta(params["dec"], th, batch.dev_1hot)
+    return model, params, batch, th
+
+
+def test_pallas_blackbox_matches_scan(setup_blackbox):
+    """The shared-weight MLP kernel (NeuralStates hidden=25 + relu
+    NeuralPrecisions hidden=20, in-kernel matmuls) must match the XLA scan
+    path on the shipped dr_blackbox_icml shape."""
+    from vihds_tpu.ops import pallas_blackbox
+
+    model, params, batch, th = setup_blackbox
+    ode = model.ode_model
+    assert pallas_blackbox.supported(ode)
+    constants = ode._constants(th, batch.inputs, batch.dev_1hot, 4)
+    y0 = ode.initialize_state(params["dec"], th, batch.inputs, 3, 4)
+    rhs = ode.make_rhs(params["dec"], th, batch.inputs, batch.dev_1hot)
+    ref = np.asarray(integrate(rhs, y0, batch.times, method="midpoint"))
+    got = np.asarray(
+        pallas_blackbox.blackbox_simulate(
+            params["dec"], constants, y0, batch.times, ode.n_states,
+            method="midpoint", block_rows=8, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_blackbox_gradients(setup_blackbox):
+    """Backward sweep: weight cotangents (per-grid-cell accumulation +
+    host-side sum), per-row constant and y0 cotangents all match the XLA
+    scan path."""
+    from vihds_tpu.ops import pallas_blackbox
+
+    model, params, batch, th = setup_blackbox
+    ode = model.ode_model
+    constants = ode._constants(th, batch.inputs, batch.dev_1hot, 4)
+    y0 = ode.initialize_state(params["dec"], th, batch.inputs, 3, 4)
+    nets = {"states": params["dec"]["states"], "precisions": params["dec"]["precisions"]}
+
+    def loss_pallas(nets, constants, y0):
+        sol = pallas_blackbox.blackbox_simulate(
+            nets, constants, y0, batch.times, ode.n_states,
+            method="midpoint", block_rows=8, interpret=True,
+        )
+        return jnp.sum(sol[-1] ** 2) + jnp.sum(jnp.abs(sol[40]))
+
+    def loss_scan(nets, constants, y0):
+        def rhs(t, state):
+            dx = ode.neural_states(nets["states"], state[..., :-4], constants)
+            dv = ode.precisions.rhs(nets["precisions"], t, state, constants)
+            return jnp.concatenate([dx, dv], axis=-1)
+
+        sol = integrate(rhs, y0, batch.times, method="midpoint")
+        return jnp.sum(sol[-1] ** 2) + jnp.sum(jnp.abs(sol[40]))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(nets, constants, y0)
+    g2 = jax.grad(loss_scan, argnums=(0, 1, 2))(nets, constants, y0)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(g2[2]), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-3, atol=1e-5)
+    for net in ("states", "precisions"):
+        for layer in ("hidden", "prod", "degr"):
+            for leaf in ("w", "b"):
+                a = np.asarray(g1[0][net][layer][leaf])
+                b = np.asarray(g2[0][net][layer][leaf])
+                assert np.isfinite(a).all(), (net, layer, leaf)
+                assert np.abs(a).max() > 0, "zero grads: %s/%s/%s" % (net, layer, leaf)
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-3, atol=1e-5, err_msg="%s/%s/%s" % (net, layer, leaf)
+                )
+
+
+def test_pallas_blackbox_routing(setup_blackbox):
+    """solver: pallas_midpoint on dr_blackbox routes through the fused
+    black-box kernel."""
+    from vihds_tpu.ops import pallas_blackbox as pb
+
+    model, params, batch, th = setup_blackbox
+    ode = model.ode_model
+    old = ode.solver
+    try:
+        ode.solver = "pallas_midpoint"
+        orig = pb.blackbox_simulate
+        calls = {}
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        pb.blackbox_simulate = spy
+        try:
+            sol = ode.simulate(params["dec"], th, batch.times, batch.inputs, batch.dev_1hot, 4)
+        finally:
+            pb.blackbox_simulate = orig
+        assert calls.get("hit"), "pallas blackbox path not taken"
+        assert sol.shape == (3, 4, ode.n_states + 4, batch.times.shape[0])
+        assert np.isfinite(np.asarray(sol)).all()
+    finally:
+        ode.solver = old
+
+
 def test_pallas_solver_routing(setup):
     """solver: pallas_midpoint routes through the kernel end-to-end."""
     model, params, batch, th = setup

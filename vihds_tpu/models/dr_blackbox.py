@@ -81,6 +81,30 @@ class DR_Blackbox(OdeModel):
         prec0 = jnp.full((n_batch, n_iwae, 4), self.init_prec)
         return jnp.concatenate([x0, h0, prec0], axis=-1)
 
+    def simulate(self, params, theta, times, treatments, dev_1hot, n_iwae, checkpoint=False, eval_mode=False):
+        """Route ``solver: pallas_<method>`` (or ``eval_solver`` in eval
+        mode) through the fused black-box kernel (shared-weight MLP matmuls
+        VMEM-resident for the whole time loop; vihds_tpu/ops/
+        pallas_blackbox.py) when the configuration matches the shipped
+        shape; otherwise the XLA scan."""
+        method = self._solver_for(eval_mode)
+        if method.startswith("pallas_"):
+            from vihds_tpu.ops import pallas_blackbox
+
+            if pallas_blackbox.supported(self):
+                n_batch = treatments.shape[0]
+                constants = self._constants(theta, treatments, dev_1hot, n_iwae)
+                y0 = self.initialize_state(params, theta, treatments, n_batch, n_iwae)
+                sol = pallas_blackbox.blackbox_simulate(
+                    params, constants, y0, times, self.n_states,
+                    method=method[len("pallas_"):],
+                )
+                return jnp.transpose(sol, (1, 2, 3, 0))
+        return super().simulate(
+            params, theta, times, treatments, dev_1hot, n_iwae,
+            checkpoint=checkpoint, eval_mode=eval_mode,
+        )
+
     def make_rhs(self, params, theta, treatments, dev_1hot):
         n_iwae = theta["z1"].shape[1]
         constants = self._constants(theta, treatments, dev_1hot, n_iwae)

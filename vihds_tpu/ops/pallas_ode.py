@@ -24,8 +24,8 @@ models/degrader_constant.py):
 The *_prec variants carry the n_hidden=0 NeuralPrecisions block in-kernel
 (4 learned-precision ODE states; weights ride the packed constants).  The
 black-box family (shared-weight hidden-layer matmuls, reference
-models/dr_blackbox.py) is NOT a per-row-elementwise workload and keeps the
-XLA scan path (xplane evidence: reports/trainstep_profile/REPORT.md).
+models/dr_blackbox.py) is a different workload shape (MXU, not per-row
+VPU) and has its own fused kernel: vihds_tpu/ops/pallas_blackbox.py.
 
 Layout: samples are flattened to rows R = B*K and blocked over a 1-D grid;
 each grid cell integrates ``block_rows`` rows for all T steps.  Constants are
