@@ -589,6 +589,12 @@ def _handle_outlier_folds(args, settings, runner, results):
     elbos = [None if r is None else float(r.elbo) for r in results]
     outliers = detect_outlier_folds(elbos, nats)
     if not outliers:
+        finite = [e for e in elbos if e is not None and np.isfinite(e)]
+        print(
+            "Outlier-fold check: all %d folds within %.0f nats of the "
+            "sibling median (best-val spread %.1f .. %.1f)"
+            % (len(results), nats, min(finite), max(finite))
+        )
         return results
     med = np.median([e for e in elbos if e is not None and np.isfinite(e)])
     print("================================================================")
