@@ -62,6 +62,10 @@ def run(seed, out_dir, n_steps=3000):
 
     os.chdir(tempfile.mkdtemp(prefix="armu_seed%d_" % seed))  # isolate .vihds_cache
 
+    from vihds_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()  # TPU-only no-op on CPU; seeds share the compiles
+
     from vihds_tpu import refine
     from vihds_tpu.config import Config
     from vihds_tpu.data.datasets import build_datasets

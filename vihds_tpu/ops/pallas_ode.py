@@ -498,7 +498,7 @@ def _pack_prec(constants, prec_params, n_in):
 
 
 def dr_constant_precisions_simulate(
-    constants, prec_params, y0, times, method="midpoint", block_rows=256, interpret=False
+    constants, prec_params, y0, times, method="midpoint", block_rows=128, interpret=False
 ):
     """Fused integration of the dr_constant_precisions family (8 mechanistic
     + 4 learned-precision states; NeuralPrecisions with n_hidden=0, tanh
@@ -519,7 +519,7 @@ def relay_constant_simulate(constants, y0, times, method="midpoint", block_rows=
 
 
 def relay_constant_precisions_simulate(
-    constants, prec_params, y0, times, method="midpoint", block_rows=256, interpret=False
+    constants, prec_params, y0, times, method="midpoint", block_rows=128, interpret=False
 ):
     """Fused relay_constant_precisions (12 mechanistic + 4 learned-precision
     states); ``y0``: [B, K, 16]; returns [T, B, K, 16]."""
@@ -534,7 +534,7 @@ def degrader_constant_simulate(constants, y0, times, method="midpoint", block_ro
 
 
 def degrader_constant_precisions_simulate(
-    constants, prec_params, y0, times, method="midpoint", block_rows=256, interpret=False
+    constants, prec_params, y0, times, method="midpoint", block_rows=128, interpret=False
 ):
     """Fused degrader_constant_precisions (11 mechanistic + 4
     learned-precision states); ``y0``: [B, K, 15]; returns [T, B, K, 15]."""
