@@ -656,16 +656,22 @@ def pm_refine_shared(
          importance-sampling noise cancels exactly and the block behaves
          like plain adaptive RW-MH on a smooth surface;
       B. particle refresh u' = rho u + sqrt(1-rho^2) xi (Crank-Nicolson,
-         reversible w.r.t. N(0, I)), shared FIXED — re-randomises the
-         estimator; rho near 1 keeps the log-p_hat innovation
-         O(sqrt(1-rho^2) sigma_noise), so the block accepts routinely
-         [Deligiannidis et al. 2018, the correlated pseudo-marginal method].
+         reversible w.r.t. N(0, I)), shared FIXED, accepted INDEPENDENTLY
+         per (series, chain) — the extended target factorises as
+         p(z) prod_s p_hat_s(z, u_s) N(u_s), so each series' u-block is
+         its own MH update given z, and one batched evaluation refreshes
+         every series at once.  The acceptance ratio then carries only the
+         per-series noise innovation sqrt(2(1-rho^2)) sigma_s instead of
+         the sum over the dataset [Deligiannidis et al. 2018, the
+         correlated pseudo-marginal method, blocked over independent
+         observations].
 
-    A single joint (z, u) proposal was measured to collapse (acceptance
-    5e-4 on the trained dr_constant_one decoder: the full estimator
-    innovation ~ sigma_noise lands in every acceptance ratio); the
-    two-block composition is the standard fix and both blocks leave pi(z,u)
-    invariant, so exactness is unchanged.
+    Both degenerate variants were measured to collapse on the trained
+    dr_constant_one decoder: a single joint (z, u) proposal accepts at
+    5e-4 (the full-dataset estimator innovation lands in every ratio), and
+    a joint all-series u-refresh accepts at 3e-4 (same innovation, u side).
+    The per-series B-step keeps the same two-evaluations-per-step cost and
+    both blocks leave pi(z, u) invariant, so exactness is unchanged.
 
     Returns shared-state samples {g: [K, nG], c: [D, K, nC]}, optional
     per-step traces, and an assembled full-theta sample for API symmetry
@@ -708,7 +714,8 @@ def pm_refine_shared(
         z = z.at[..., csl].set(jnp.broadcast_to(zc[dev_idx][:, :, None, :], (L, K, P, nC)))
         return z
 
-    def log_target(zg, zc, u):
+    def ll_series(zg, zc, u):
+        """Per-series log p_hat(x_s | shared), [L, K]."""
         z_loc = z_from_u(program, u, mu_bb, prec_bb)     # [L, K, P, n]
         z = assemble(zg, zc, z_loc)
         lp_th = log_lik(z.reshape(L, K * P, program.n_theta)).reshape(L, K, P)
@@ -717,16 +724,18 @@ def pm_refine_shared(
              - log_q_z_sites(program, z_loc, mu_bb, prec_bb)[..., lsl]) * ml
         ).sum(-1)                                        # [L, K, P]
         w = jnp.nan_to_num(lp_th + lw_l, nan=-jnp.inf)
-        ll_hat = (jax.scipy.special.logsumexp(w, axis=2) - math.log(P)).sum(0)  # [K]
+        return jax.scipy.special.logsumexp(w, axis=2) - math.log(P)
+
+    def shared_prior(zg, zc):                            # [K]
         lp_g = (log_prior_z_cols(program, zg, idx_g) * mg).sum(-1)
         lp_c = (log_prior_z_cols(program, zc, idx_c) * mc).sum(-1).sum(0)
-        return ll_hat + lp_g + lp_c
+        return lp_g + lp_c
 
     n_warmup = n_steps // 2
     sq1r = math.sqrt(max(1.0 - rho * rho, 0.0))
 
     def one_step(carry, inp):
-        zg, zc, u, tgt, log_eps, n_accept, n_accept_u, stats = carry
+        zg, zc, u, ll, lp, log_eps, n_accept, n_accept_u, stats = carry
         key_t, t = inp
         kg, kc, ka, ku, kb = jax.random.split(key_t, 5)
         # Adaptive-Metropolis proposal shape [Haario et al. 2001]: during
@@ -744,20 +753,25 @@ def pm_refine_shared(
         e = jnp.exp(log_eps)                             # [K]
         zg_n = zg + e[:, None] * pg_sig * mg * jax.random.normal(kg, zg.shape)
         zc_n = zc + e[None, :, None] * pc_sig * mc * jax.random.normal(kc, zc.shape)
-        tgt_n = log_target(zg_n, zc_n, u)
-        log_alpha = jnp.nan_to_num(tgt_n - tgt, nan=-jnp.inf)
+        ll_n = ll_series(zg_n, zc_n, u)
+        lp_n = shared_prior(zg_n, zc_n)
+        log_alpha = jnp.nan_to_num(
+            (ll_n.sum(0) + lp_n) - (ll.sum(0) + lp), nan=-jnp.inf
+        )
         alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
         accept = jnp.log(jax.random.uniform(ka, (K,))) < log_alpha
         zg = jnp.where(accept[:, None], zg_n, zg)
         zc = jnp.where(accept[None, :, None], zc_n, zc)
-        tgt = jnp.where(accept, tgt_n, tgt)
-        # B: Crank-Nicolson particle refresh, shared fixed
+        ll = jnp.where(accept[None, :], ll_n, ll)
+        lp = jnp.where(accept, lp_n, lp)
+        # B: Crank-Nicolson particle refresh, shared fixed, accepted
+        # independently per (series, chain) — the u-blocks factorise
         u_n = rho * u + sq1r * jax.random.normal(ku, u.shape)
-        tgt_u = log_target(zg, zc, u_n)
-        log_beta = jnp.nan_to_num(tgt_u - tgt, nan=-jnp.inf)
-        accept_u = jnp.log(jax.random.uniform(kb, (K,))) < log_beta
-        u = jnp.where(accept_u[None, :, None, None], u_n, u)
-        tgt = jnp.where(accept_u, tgt_u, tgt)
+        ll_u = ll_series(zg, zc, u_n)
+        log_beta = jnp.nan_to_num(ll_u - ll, nan=-jnp.inf)  # [L, K]
+        accept_u = jnp.log(jax.random.uniform(kb, (L, K))) < log_beta
+        u = jnp.where(accept_u[:, :, None, None], u_n, u)
+        ll = jnp.where(accept_u, ll_u, ll)
         # adaptation (z-block scalar step + proposal-shape stats), warmup only
         adapt = (t < n_warmup).astype(jnp.float32)
         log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
@@ -769,16 +783,18 @@ def pm_refine_shared(
             s2c + adapt * (zc ** 2).sum(1, keepdims=True),
         )
         counted = (t >= n_warmup).astype(jnp.float32)
+        tgt = ll.sum(0) + lp
         out = (jnp.median(tgt), zg, zc) if return_trace else jnp.median(tgt)
         carry = (
-            zg, zc, u, tgt, log_eps,
+            zg, zc, u, ll, lp, log_eps,
             n_accept + counted * accept.astype(jnp.float32),
-            n_accept_u + counted * accept_u.astype(jnp.float32),
+            n_accept_u + counted * accept_u.astype(jnp.float32).mean(0),
             stats,
         )
         return carry, out
 
-    tgt0 = log_target(zg0, zc0, u0)
+    ll0 = ll_series(zg0, zc0, u0)
+    lp0 = shared_prior(zg0, zc0)
     log_eps0 = jnp.full((K,), jnp.log(step_scale))
     keys = jax.random.split(key, n_steps)
     stats0 = (
@@ -788,8 +804,8 @@ def pm_refine_shared(
         jnp.zeros_like(zc0[:, :1, :]),
         jnp.zeros_like(zc0[:, :1, :]),
     )
-    carry0 = (zg0, zc0, u0, tgt0, log_eps0, jnp.zeros(K), jnp.zeros(K), stats0)
-    (zg, zc, u, tgt, log_eps, n_accept, n_accept_u, _), scanned = jax.lax.scan(
+    carry0 = (zg0, zc0, u0, ll0, lp0, log_eps0, jnp.zeros(K), jnp.zeros(K), stats0)
+    (zg, zc, u, ll, lp, log_eps, n_accept, n_accept_u, _), scanned = jax.lax.scan(
         one_step, carry0, (keys, jnp.arange(n_steps))
     )
     if return_trace:
@@ -804,7 +820,7 @@ def pm_refine_shared(
         accept_rate=n_accept / max(n_steps - n_warmup, 1),
         accept_rate_u=n_accept_u / max(n_steps - n_warmup, 1),
         step_size=jnp.exp(log_eps),
-        log_target=tgt,
+        log_target=ll.sum(0) + lp,
         log_target_trace=tgt_trace,
         n_warmup=n_warmup,
     )
