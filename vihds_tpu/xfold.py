@@ -590,10 +590,13 @@ def _handle_outlier_folds(args, settings, runner, results):
     outliers = detect_outlier_folds(elbos, nats)
     if not outliers:
         finite = [e for e in elbos if e is not None and np.isfinite(e)]
+        spread = (
+            " (best-val spread %.1f .. %.1f)" % (min(finite), max(finite))
+            if finite else ""
+        )
         print(
             "Outlier-fold check: all %d folds within %.0f nats of the "
-            "sibling median (best-val spread %.1f .. %.1f)"
-            % (len(results), nats, min(finite), max(finite))
+            "sibling median%s" % (len(results), nats, spread)
         )
         return results
     med = np.median([e for e in elbos if e is not None and np.isfinite(e)])
