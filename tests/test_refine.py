@@ -196,6 +196,81 @@ def test_pm_refine_shared_null_likelihood_recovers_prior(setup, monkeypatch):
     )
 
 
+def test_gibbs_refine_pooled(setup):
+    """Pooled Gibbs (locals-HMC | shared-MH): shared tying exact across
+    series, constants fixed, both blocks actually move, finite joint."""
+    program, model, params, batch = setup
+    K = 4
+    out = refine.gibbs_refine_pooled(
+        model, program, params, batch, jax.random.PRNGKey(21),
+        n_chains=K, n_sweeps=20, n_leapfrog=3, return_trace=True,
+    )
+    th = np.asarray(out.theta)
+    assert th.shape == (N, K, program.n_theta)
+    assert np.isfinite(th).all()
+    g = program.global_slice
+    np.testing.assert_array_equal(
+        th[:, :, g], np.broadcast_to(th[0:1, :, g], th[:, :, g].shape)
+    )
+    const_cols = np.where(program.is_constant)[0]
+    for c in const_cols:
+        np.testing.assert_allclose(th[:, :, c], program.const_value[c], rtol=1e-6)
+    z, z0 = np.asarray(out.z), np.asarray(out.z_init)
+    lsl = program.local_slice
+    mov_l = ~program.is_constant[lsl]
+    assert np.abs(z[:, :, lsl][:, :, mov_l] - z0[:, :, lsl][:, :, mov_l]).max() > 0, (
+        "locals never moved"
+    )
+    acc_l = np.asarray(out.accept_rate_local)
+    acc_s = np.asarray(out.accept_rate)
+    assert (acc_l >= 0).all() and (acc_l <= 1).all()
+    assert (acc_s >= 0).all() and (acc_s <= 1).all()
+    assert np.isfinite(np.asarray(out.log_joint_trace)).all()
+
+
+def test_gibbs_refine_pooled_null_likelihood_recovers_prior(setup, monkeypatch):
+    """Exactness: with the data term nulled both Gibbs conditionals target
+    the prior, so shared AND local draws must recover prior moments —
+    catches sign/step errors in the locals leapfrog, the per-series
+    accept, and the shared MH."""
+    program, model, params, batch = setup
+
+    def null_log_lik(model_, program_, params_, batch_):
+        def ll(theta):
+            return jnp.zeros(theta.shape[:2], jnp.float32)
+        return ll
+
+    monkeypatch.setattr(refine, "make_log_lik", null_log_lik)
+    out = refine.gibbs_refine_pooled(
+        model, program, params, batch, jax.random.PRNGKey(22),
+        n_chains=8, n_sweeps=2400, n_leapfrog=5, return_trace=True,
+    )
+    nw = int(out.n_warmup)
+    gtr = np.asarray(out.state_trace["g"])[nw:]  # [S, K, nG]
+    gsl = program.global_slice
+    mu = program.prior_mu[gsl]
+    sd = 1.0 / np.sqrt(program.prior_prec[gsl])
+    post_mu = gtr.reshape(-1, gtr.shape[-1]).mean(0)
+    post_sd = gtr.reshape(-1, gtr.shape[-1]).std(0)
+    assert (np.abs(post_mu - mu) < 0.5 * sd).all(), (
+        "shared prior mean not recovered: %r" % ((post_mu - mu) / sd,)
+    )
+    assert (post_sd > 0.45 * sd).all() and (post_sd < 1.8 * sd).all(), (
+        "shared prior sd not recovered: %r" % (post_sd / sd,)
+    )
+    # locals: final-state cross-(series, chain) moments against the prior
+    lsl = program.local_slice
+    mov = ~program.is_constant[lsl]
+    zl = np.asarray(out.state["l"])[:, :, mov]           # [L, K, nL_mov]
+    mu_l = program.prior_mu[lsl][mov]
+    sd_l = 1.0 / np.sqrt(program.prior_prec[lsl][mov])
+    flat = zl.reshape(-1, zl.shape[-1])
+    assert (np.abs(flat.mean(0) - mu_l) < 0.6 * sd_l).all(), (
+        "local prior mean not recovered: %r" % ((flat.mean(0) - mu_l) / sd_l,)
+    )
+    assert (flat.std(0) > 0.5 * sd_l).all() and (flat.std(0) < 1.6 * sd_l).all()
+
+
 def test_smc_refine(setup):
     program, model, params, batch = setup
     out = refine.smc_refine(

@@ -99,8 +99,22 @@ def run(seed, out_dir, n_steps=3000):
     q_mu = np.asarray(q.mu)
     q_prec = np.asarray(q.prec)
 
-    sampler = os.environ.get("VIHDS_ARMU_SAMPLER", "pm")
-    if sampler == "pm":
+    sampler = os.environ.get("VIHDS_ARMU_SAMPLER", "gibbs")
+    if sampler == "gibbs":
+        # Exact-joint Gibbs (no importance sampling): locals by per-series
+        # HMC given shared, shared by adaptive MH given locals.  The PM
+        # route drowns in per-series importance-weight variance here
+        # (~20+ nats measured; particles almost never refresh), and the
+        # joint pooled HMC random-walks (split-R-hat ~22) — the Gibbs
+        # conditionals avoid both failure modes.
+        res = refine.gibbs_refine_pooled(
+            model, program, params, batch, jax.random.PRNGKey(seed + 101),
+            devices=host.devices, n_chains=16, n_sweeps=int(n_steps),
+            n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "10")),
+            return_trace=True,
+        )
+        trace_c = res.state_trace["c"]
+    elif sampler == "pm":
         # Correlated pseudo-marginal MH over the shared tier: the locals are
         # integrated out by IS from the trained q, so the 27-dim shared
         # block mixes by adaptive random walk — the pooled joint HMC
