@@ -99,7 +99,77 @@ def run(seed, out_dir, n_steps=3000):
     q_mu = np.asarray(q.mu)
     q_prec = np.asarray(q.prec)
 
-    sampler = os.environ.get("VIHDS_ARMU_SAMPLER", "gibbs")
+    sampler = os.environ.get("VIHDS_ARMU_SAMPLER", "perseries")
+    if sampler == "perseries":
+        # THE matched yardstick.  Amortised VI with per-series ELBO/IWAE
+        # terms does NOT target the pooled posterior for a shared site: at
+        # stationarity q* minimises sum_s KL(q || p(. | x_s)), whose
+        # Gaussian solution is the KL-barycenter — mean = the
+        # precision-weighted average of per-series posterior means,
+        # variance = the harmonic mean of per-series posterior variances.
+        # So q(aR) is compared against the barycenter of the PER-SERIES
+        # posteriors, each sampled exactly by the per-series HMC
+        # (hmc_refine: one independent chain per (series, chain), all
+        # sites move, shared sites duplicated per series — exactly
+        # p(theta | x_s)).  The pooled-posterior routes are the wrong
+        # yardstick AND intractable here: the pooled geometry is an
+        # extreme shared-locals ridge (joint HMC split-R-hat ~22,
+        # q-preconditioned ~23; Gibbs conditional-crawl R-hat ~55; the
+        # pseudo-marginal estimator carries ~20+ nats of per-series IS
+        # noise) — all three negative results are kept in the npz history
+        # and REPORT for the record.
+        res = refine.hmc_refine(
+            model, program, params, batch, jax.random.PRNGKey(seed + 101),
+            n_chains=16, n_steps=int(n_steps),
+            n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "5")),
+            return_trace=True,
+        )
+        nw = int(res.n_warmup)
+        ztr_all = np.asarray(res.z_trace)          # [S_tot, B, K, n]
+        ztr = ztr_all[nw:]                         # [S, B, K, n]
+        out = {
+            "seed": seed,
+            "best_val_elbo": float(np.asarray(results.elbo)) if results is not None else np.nan,
+            "accept": float(np.asarray(res.accept_rate).mean()),
+            "n_steps": int(n_steps),
+            "sampler": sampler,
+        }
+        arrays = {}
+        q_sd_all = 1.0 / np.sqrt(q_prec)
+        for name in SITES:
+            i = program.index[name]
+            d = ztr[:, :, :, i]                    # [S, B, K]
+            mu_s = d.mean(axis=(0, 2))             # per-series posterior means
+            var_s = d.var(axis=(0, 2))             # per-series posterior vars
+            w = 1.0 / np.maximum(var_s, 1e-12)
+            bary = float((w * mu_s).sum() / w.sum())
+            bary_sd = float(np.sqrt(d.shape[1] / w.sum()))  # harmonic-mean sd
+            # per-series chain diagnostics; the gate uses the WORST series
+            rhats, esss, mcses = [], [], []
+            for b in range(d.shape[1]):
+                db = d[:, b, :]                    # [S, K]
+                rhats.append(split_rhat(db))
+                e = _ess(db)
+                esss.append(e)
+                mcses.append(float(db.std() / max(np.sqrt(e), 1.0)))
+            w_n = w / w.sum()
+            out["%s_q_mu" % name] = float(q_mu[:, i].mean())
+            out["%s_q_sd" % name] = float(q_sd_all[:, i].mean())
+            out["%s_hmc_mean" % name] = bary
+            out["%s_hmc_sd" % name] = bary_sd
+            out["%s_hmc_mcse" % name] = float(
+                np.sqrt((w_n ** 2 * np.asarray(mcses) ** 2).sum())
+            )
+            out["%s_rhat" % name] = float(np.max(rhats))
+            out["%s_hmc_ess" % name] = float(np.min(esss))
+            arrays["%s_ens_mu" % name] = ztr_all[:, :, :, i].mean(axis=(1, 2))
+            arrays["%s_series_mu" % name] = mu_s
+            arrays["%s_series_sd" % name] = np.sqrt(var_s)
+        path = os.path.join(out_dir, "seed%d.npz" % seed)
+        np.savez(path, **out, **arrays)
+        print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()})
+        print("saved", path)
+        return
     if sampler == "gibbs":
         # Exact-joint Gibbs (no importance sampling): locals by per-series
         # HMC given shared, shared by adaptive MH given locals.  The PM
@@ -203,13 +273,23 @@ def report(out_dir):
     import numpy as np
 
     lines = [
-        "# aR.mu ground truth: q vs the pooled-HMC posterior, per trained seed",
+        "# aR.mu ground truth: q vs the per-series-posterior KL-barycenter, per trained seed",
         "",
         "Regime: ctrl_unit battery (dr_constant_one, 1000 ep, K=200, unit "
-        "init); per seed, the pooled hierarchical HMC samples the exact "
-        "posterior of that seed's OWN trained decoder; values in z-space "
-        "(z = log theta).  aS is the identically-specified control site "
-        "that PASSES the cross-implementation battery.",
+        "init); values in z-space (z = log theta).  Yardstick: amortised "
+        "VI with per-series ELBO terms targets, for a shared site, the "
+        "KL-barycenter of the per-series posteriors (mean = "
+        "precision-weighted average of per-series posterior means, sd = "
+        "harmonic-mean posterior sd), NOT the pooled posterior — so each "
+        "seed's q(site) is compared against the barycenter of exact "
+        "per-series HMC posteriors under that seed's OWN decoder "
+        "(refine.hmc_refine, one independent chain per series; R-hat is "
+        "the WORST series, ESS the SMALLEST).  aS is the "
+        "identically-specified control site that PASSES the "
+        "cross-implementation battery.  (The pooled posterior is both the "
+        "wrong target and intractable here: joint HMC split-R-hat ~22, "
+        "Gibbs conditional-crawl ~55, pseudo-marginal IS noise 20+ nats — "
+        "see REPORT history.)",
         "",
         "| seed | site | q mu | q sd | HMC mean +- MCSE | HMC sd | |q-HMC|/HMC sd | R-hat | ESS |",
         "|---|---|---|---|---|---|---|---|---|",
