@@ -165,6 +165,16 @@ def run(seed, out_dir, n_steps=3000):
             arrays["%s_ens_mu" % name] = ztr_all[:, :, :, i].mean(axis=(1, 2))
             arrays["%s_series_mu" % name] = mu_s
             arrays["%s_series_sd" % name] = np.sqrt(var_s)
+            arrays["%s_series_rhat" % name] = np.asarray(rhats)
+            arrays["%s_series_ess" % name] = np.asarray(esss)
+            # barycenter restricted to converged series (sensitivity check:
+            # a few non-mixed series must not be what moves the verdict)
+            okb = (np.asarray(rhats) < 1.05) & (np.asarray(esss) >= 100)
+            if okb.any():
+                out["%s_hmc_mean_conv" % name] = float(
+                    (w[okb] * mu_s[okb]).sum() / w[okb].sum()
+                )
+                out["%s_n_conv" % name] = int(okb.sum())
         path = os.path.join(out_dir, "seed%d.npz" % seed)
         np.savez(path, **out, **arrays)
         print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()})
