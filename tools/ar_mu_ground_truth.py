@@ -122,6 +122,7 @@ def run(seed, out_dir, n_steps=3000):
             model, program, params, batch, jax.random.PRNGKey(seed + 101),
             n_chains=16, n_steps=int(n_steps),
             n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "5")),
+            init_inflate=float(os.environ.get("VIHDS_ARMU_INFLATE", "1.0")),
             return_trace=True,
         )
         nw = int(res.n_warmup)

@@ -305,6 +305,7 @@ def hmc_refine(
     target_accept=0.7,
     site_mask=None,
     return_trace=False,
+    init_inflate=1.0,
 ):
     """HMC over z, one chain per (datapoint, sample) pair, initialised at q.
 
@@ -327,7 +328,13 @@ def hmc_refine(
     base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(prior_prec), 0.0)
 
     key, k0 = jax.random.split(key)
-    z, _, _ = init_z_from_q(model, program, params, batch, k0, n_chains)
+    z, _, q = init_z_from_q(model, program, params, batch, k0, n_chains)
+    if init_inflate != 1.0:
+        # overdispersed multi-start (z-space inflation about q's mean):
+        # init-robustness control for multi-basin posteriors — chains that
+        # relax to the same ensemble estimate from inflated starts are not
+        # just reporting their initialisation
+        z = q.mu[:, None, :] + init_inflate * (z - q.mu[:, None, :])
     z_init = z
     n_warmup = n_steps // 2
 
