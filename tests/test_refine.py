@@ -196,6 +196,68 @@ def test_pm_refine_shared_null_likelihood_recovers_prior(setup, monkeypatch):
     )
 
 
+def test_pm_refine_shared_targets_constrained_posterior(setup, monkeypatch):
+    """Exactness of the PM target in THETA space (advisor r4-high): with a
+    tractable likelihood that depends on a shared LogNormal site's
+    CONSTRAINED value, -0.5*tau*(theta_i - c)^2, the chain's z_i marginal
+    must match 1-d quadrature of the exact target — the same
+    p(z_i) ∝ N(z_i; prior) * exp(-L*tau/2*(e^{z_i}-c)^2) that
+    make_log_joint / hmc_refine_pooled integrate.  A sampler that feeds
+    unconstrained z to the likelihood instead targets (e^{z}->z) a
+    measurably different posterior (guard-asserted below), so this test
+    pins the constrain_z call in the weight assembly."""
+    program, model, params, batch = setup
+    gsl = program.global_slice
+    cand = [
+        i for i in range(gsl.start, gsl.stop)
+        if program.is_lognormal[i] and not program.is_constant[i]
+    ]
+    i = cand[0]
+    mu_z = float(program.prior_mu[i])
+    sd_z = 1.0 / np.sqrt(float(program.prior_prec[i]))
+    c = float(np.exp(mu_z + 0.8 * sd_z))
+    tau = 4.0 / c ** 2
+
+    def informative_log_lik(model_, program_, params_, batch_):
+        def ll(theta):
+            return -0.5 * tau * (theta[..., i] - c) ** 2
+        return ll
+
+    monkeypatch.setattr(refine, "make_log_lik", informative_log_lik)
+    out = refine.pm_refine_shared(
+        model, program, params, batch, jax.random.PRNGKey(13),
+        n_chains=8, n_steps=2400, n_particles=8, return_trace=True,
+    )
+    nw = int(out.n_warmup)
+    ig = i - gsl.start
+    draws = np.asarray(out.state_trace["g"])[nw:, :, ig].ravel()
+
+    # exact target by quadrature (L series share the site, so L likelihood
+    # factors; prior in z-space is plain Normal for a LogNormal site)
+    z = np.linspace(mu_z - 8 * sd_z, mu_z + 8 * sd_z, 20001)
+    def posterior_moments(theta_of_z):
+        lp = (
+            -0.5 * ((z - mu_z) / sd_z) ** 2
+            - 0.5 * N * tau * (theta_of_z - c) ** 2
+        )
+        w = np.exp(lp - lp.max())
+        w /= np.trapezoid(w, z)
+        m = np.trapezoid(w * z, z)
+        s = np.sqrt(np.trapezoid(w * (z - m) ** 2, z))
+        return m, s
+
+    exact_mean, exact_sd = posterior_moments(np.exp(z))
+    wrong_mean, _ = posterior_moments(z)  # the unconstrained-z bug's target
+    assert abs(wrong_mean - exact_mean) > 1.0 * exact_sd, (
+        "test not discriminating: buggy target too close to exact"
+    )
+    assert abs(draws.mean() - exact_mean) < 0.35 * exact_sd, (
+        "PM posterior mean %.4f vs exact %.4f (sd %.4f; wrong-space %.4f)"
+        % (draws.mean(), exact_mean, exact_sd, wrong_mean)
+    )
+    assert 0.6 * exact_sd < draws.std() < 1.6 * exact_sd
+
+
 def test_gibbs_refine_pooled(setup):
     """Pooled Gibbs (locals-HMC | shared-MH): shared tying exact across
     series, constants fixed, both blocks actually move, finite joint."""

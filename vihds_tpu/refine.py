@@ -333,8 +333,15 @@ def hmc_refine(
         # overdispersed multi-start (z-space inflation about q's mean):
         # init-robustness control for multi-basin posteriors — chains that
         # relax to the same ensemble estimate from inflated starts are not
-        # just reporting their initialisation
-        z = q.mu[:, None, :] + init_inflate * (z - q.mu[:, None, :])
+        # just reporting their initialisation.  Only Normal/LogNormal
+        # columns are inflated: there q.mu parameterises z directly; for
+        # TruncatedNormal/Kumaraswamy sites q.mu is theta-space (or (a,b)),
+        # so z-space inflation about it would mis-center and can saturate
+        # the bounded bijection — those columns keep their q draw.
+        z_param = jnp.asarray(
+            ~(program.is_truncated | program.is_kumaraswamy), z.dtype
+        )
+        z = z + (init_inflate - 1.0) * z_param * (z - q.mu[:, None, :])
     z_init = z
     n_warmup = n_steps // 2
 
@@ -904,8 +911,10 @@ def pm_refine_shared(
     both blocks leave pi(z, u) invariant, so exactness is unchanged.
 
     Returns shared-state samples {g: [K, nG], c: [D, K, nC]}, optional
-    per-step traces, and an assembled full-theta sample for API symmetry
-    with the other refiners.  Reference has no counterpart (it stops at the
+    per-step traces, and an assembled full-theta sample whose local
+    coordinates are importance-resampled per (series, chain) from the
+    final particle weights (a one-draw posterior sample, matching the
+    other refiners' return contract).  Reference has no counterpart (it stops at the
     amortised posterior, /root/reference/vihds/training.py:283-322)."""
     L = batch.observations.shape[0]
     raw_dev = np.zeros(L, np.int32) if devices is None else np.asarray(devices, np.int32)
@@ -944,16 +953,24 @@ def pm_refine_shared(
         z = z.at[..., csl].set(jnp.broadcast_to(zc[dev_idx][:, :, None, :], (L, K, P, nC)))
         return z
 
-    def ll_series(zg, zc, u):
-        """Per-series log p_hat(x_s | shared), [L, K]."""
+    def particle_weights(zg, zc, u):
+        """Unnormalised particle log-weights log(p(x|th) p(z_l)/q(z_l)),
+        [L, K, P].  log_lik takes CONSTRAINED theta (it applies clip +
+        theta_dict directly), so z is mapped through constrain_z first —
+        same contract as make_log_joint."""
         z_loc = z_from_u(program, u, mu_bb, prec_bb)     # [L, K, P, n]
         z = assemble(zg, zc, z_loc)
-        lp_th = log_lik(z.reshape(L, K * P, program.n_theta)).reshape(L, K, P)
+        theta = constrain_z(program, z)
+        lp_th = log_lik(theta.reshape(L, K * P, program.n_theta)).reshape(L, K, P)
         lw_l = (
             (log_prior_z_cols(program, z_loc[..., lsl], idx_l)
              - log_q_z_sites(program, z_loc, mu_bb, prec_bb)[..., lsl]) * ml
         ).sum(-1)                                        # [L, K, P]
-        w = jnp.nan_to_num(lp_th + lw_l, nan=-jnp.inf)
+        return jnp.nan_to_num(lp_th + lw_l, nan=-jnp.inf)
+
+    def ll_series(zg, zc, u):
+        """Per-series log p_hat(x_s | shared), [L, K]."""
+        w = particle_weights(zg, zc, u)
         return jax.scipy.special.logsumexp(w, axis=2) - math.log(P)
 
     def shared_prior(zg, zc):                            # [K]
@@ -1042,7 +1059,17 @@ def pm_refine_shared(
         tgt_trace, g_trace, c_trace = scanned
     else:
         tgt_trace, g_trace, c_trace = scanned, None, None
-    z_final = assemble(zg, zc, z_from_u(program, u, mu_bb, prec_bb))[:, :, 0, :]
+    # Assemble full theta with the LOCAL coordinates importance-resampled
+    # per (series, chain) from the final particle weights — so the returned
+    # locals are (one-draw) posterior samples like the other refiners',
+    # not particle-0 q-draws.
+    k_res = jax.random.fold_in(key, 0x7E5A)  # distinct from the scan keys
+    w_fin = particle_weights(zg, zc, u)                  # [L, K, P]
+    p_idx = jax.random.categorical(k_res, w_fin, axis=-1)  # [L, K]
+    z_full = assemble(zg, zc, z_from_u(program, u, mu_bb, prec_bb))
+    z_final = jnp.take_along_axis(
+        z_full, p_idx[:, :, None, None], axis=2
+    )[:, :, 0, :]
     out = AttrDict(
         theta=constrain_z(program, z_final),
         state=dict(g=zg, c=zc),
