@@ -52,16 +52,14 @@ def main():
     params = model.init_params(key)
     opt_state = training.tx.init(params)
     host = training.train_data
-    idx = np.arange(n_batch)
     from vihds_tpu.utils.attrdict import AttrDict
 
-    batch = AttrDict(
-        observations=jnp.asarray(host.observations[idx]),
-        inputs=jnp.asarray(host.inputs[idx]),
-        dev_1hot=jnp.asarray(host.dev_1hot[idx]),
-        times=jnp.asarray(host.times),
+    from vihds_tpu.training import split_device_data
+
+    data_dev = AttrDict(
+        (k, jnp.asarray(v)) for k, v in split_device_data(host).items()
     )
-    mask = jnp.ones((n_batch,), jnp.float32)
+    times = jnp.asarray(host.times)
 
     # Measure the fused multi-epoch path exactly as Training.run dispatches
     # it: all epochs to the next eval boundary ride ONE device call.  At the
@@ -71,16 +69,13 @@ def main():
     # (measured: 50-step dispatches ~690 steps/s, 140-step ~939 steps/s —
     # see BASELINE.md), so the benchmark pins the production dispatch size.
     n_steps = 140
-    stack = lambda a: jnp.broadcast_to(a[None], (n_steps,) + a.shape)
     stacks = AttrDict(
-        observations=stack(batch.observations),
-        inputs=stack(batch.inputs),
-        dev_1hot=stack(batch.dev_1hot),
+        idx=jnp.broadcast_to(jnp.arange(n_batch, dtype=jnp.int32)[None], (n_steps, n_batch)),
         mask=jnp.ones((n_steps, n_batch), jnp.float32),
     )
 
-    epoch_fn = training._train_epoch
-    p, o, key, elbos = epoch_fn(params, opt_state, key, stacks, batch.times)
+    epoch_fn = lambda p, o, k, s: training._train_epoch(p, o, k, s, data_dev, times)
+    p, o, key, elbos = epoch_fn(params, opt_state, key, stacks)
     jax.block_until_ready(elbos)
     assert np.isfinite(np.asarray(elbos)).all(), "warmup ELBOs not finite"
 
@@ -94,7 +89,7 @@ def main():
     pending = None
     t_prev = time.perf_counter()
     for _ in range(6):
-        p, o, key, elbos = epoch_fn(p, o, key, stacks, batch.times)
+        p, o, key, elbos = epoch_fn(p, o, key, stacks)
         if pending is not None:
             assert np.isfinite(np.asarray(pending)).all(), "ELBOs not finite"
             t_now = time.perf_counter()
@@ -114,7 +109,7 @@ def main():
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        p, o, key, elbos = epoch_fn(p, o, key, stacks, batch.times)
+        p, o, key, elbos = epoch_fn(p, o, key, stacks)
     jax.block_until_ready(elbos)
     ms_per_step_device = (time.perf_counter() - t0) * 1000.0 / (reps * n_steps)
 

@@ -133,9 +133,9 @@ def test_checkpoint_never_saves_nan_state(tmp_path, monkeypatch, capsys):
         orig_build(self)
         inner = self._train_epoch
 
-        def nan_on_second(params, opt_state, key, stacks, times):
+        def nan_on_second(params, opt_state, key, stacks, data, times):
             calls["n"] += 1
-            params, opt_state, key, elbos = inner(params, opt_state, key, stacks, times)
+            params, opt_state, key, elbos = inner(params, opt_state, key, stacks, data, times)
             if calls["n"] == 2:  # epochs 3-4: poison this chunk's ELBOs
                 elbos = jnp.full_like(elbos, jnp.nan)
             return params, opt_state, key, elbos

@@ -90,13 +90,15 @@ def test_dreg_training_step_runs(setup):
     mask = jnp.ones((batch.observations.shape[0],), jnp.float32)
     from vihds_tpu.utils.attrdict import AttrDict
 
+    from vihds_tpu.training import split_device_data
+
+    n_b = batch.observations.shape[0]
+    data_dev = AttrDict(split_device_data(batch))
     stacks = AttrDict(
-        observations=batch.observations[None],
-        inputs=batch.inputs[None],
-        dev_1hot=batch.dev_1hot[None],
+        idx=jnp.arange(n_b, dtype=jnp.int32)[None],
         mask=mask[None],
     )
     p2, o2, _, elbos = training._train_epoch(
-        params, opt_state, jax.random.PRNGKey(0), stacks, batch.times
+        params, opt_state, jax.random.PRNGKey(0), stacks, data_dev, batch.times
     )
     assert np.isfinite(np.asarray(elbos)).all()

@@ -53,6 +53,29 @@ def test_hmc_refine(setup):
     assert trace[-1] >= trace[0] - 1.0
 
 
+def test_hmc_refine_mass_from_q(setup):
+    """q-preconditioned per-series mass: the mass matrix changes mixing
+    only — finite theta, constants fixed, chains move, sane acceptance."""
+    program, model, params, batch = setup
+    out = refine.hmc_refine(
+        model, program, params, batch, jax.random.PRNGKey(9),
+        n_chains=8, n_steps=10, n_leapfrog=3, mass_from_q=True,
+    )
+    assert out.theta.shape == (N, 8, program.n_theta)
+    assert np.isfinite(np.asarray(out.theta)).all()
+    acc = np.asarray(out.accept_rate)
+    assert (acc >= 0).all() and (acc <= 1).all()
+    assert acc.mean() > 0.3
+    const_cols = np.where(program.is_constant)[0]
+    for c in const_cols:
+        np.testing.assert_allclose(
+            np.asarray(out.theta)[:, :, c], program.const_value[c], rtol=1e-6
+        )
+    z, z0 = np.asarray(out.z), np.asarray(out.z_init)
+    mov = ~np.asarray(program.is_constant)
+    assert np.abs(z[:, :, mov] - z0[:, :, mov]).max() > 0, "chains never moved"
+
+
 def test_hmc_site_mask_cut_inference(setup):
     """With a local-sites-only site_mask, HMC moves ONLY the masked sites;
     every other site keeps its per-chain amortised-q draw (cut inference:

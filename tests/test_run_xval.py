@@ -271,8 +271,8 @@ def test_vmap_folds_nan_freeze(capsys, tmp_results):
     orig = runner._train_v
     calls = dict(n=0)
 
-    def poisoned(params_v, opt_v, keys_v, stacks_v, times, priors):
-        p, o, k, e = orig(params_v, opt_v, keys_v, stacks_v, times, priors)
+    def poisoned(params_v, opt_v, keys_v, stacks_v, data_v, times, priors):
+        p, o, k, e = orig(params_v, opt_v, keys_v, stacks_v, data_v, times, priors)
         calls["n"] += 1
         e = np.asarray(e).copy()
         if calls["n"] == 1:

@@ -37,7 +37,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 DEFAULT_OUT = os.path.join(REPO, "reports", "ar_mu_ground_truth")
-SITES = ("aR", "aS")
+# Round 5 (VERDICT r4 #2): the tool generalises to any spec/site list so the
+# same per-basin yardstick can point at the icml battery's two SHIFTED sites
+# (aYFP.mu, KGS_81.prec) — e.g.
+#   VIHDS_ARMU_SPEC=dr_constant_icml.yaml VIHDS_ARMU_SITES=aYFP,KGS_81 \
+#     python tools/ar_mu_ground_truth.py run 0 reports/icml_site_ground_truth
+SITES = tuple(os.environ.get("VIHDS_ARMU_SITES", "aR,aS").split(","))
+SPEC = os.environ.get("VIHDS_ARMU_SPEC", "dr_constant_one.yaml")
 
 
 def split_rhat(x):
@@ -75,7 +81,7 @@ def run(seed, out_dir, n_steps=3000):
     from vihds_tpu.vae import VAE
 
     os.makedirs(out_dir, exist_ok=True)
-    args = create_parser(True).parse_args([os.path.join(REPO, "specs", "dr_constant_one.yaml")])
+    args = create_parser(True).parse_args([os.path.join(REPO, "specs", SPEC)])
     args.seed = seed
     args.epochs = int(os.environ.get("VIHDS_ARMU_EPOCHS", "1000"))  # smoke hook
     args.test_epoch = 20
@@ -123,6 +129,7 @@ def run(seed, out_dir, n_steps=3000):
             n_chains=16, n_steps=int(n_steps),
             n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "5")),
             init_inflate=float(os.environ.get("VIHDS_ARMU_INFLATE", "1.0")),
+            mass_from_q=bool(int(os.environ.get("VIHDS_ARMU_MASSQ", "0"))),
             return_trace=True,
         )
         nw = int(res.n_warmup)
@@ -174,6 +181,11 @@ def run(seed, out_dir, n_steps=3000):
             if okb.any():
                 out["%s_hmc_mean_conv" % name] = float(
                     (w[okb] * mu_s[okb]).sum() / w[okb].sum()
+                )
+                # barycenter sd over converged series (prec-moment yardstick:
+                # q* precision = mean of per-series posterior precisions)
+                out["%s_hmc_sd_conv" % name] = float(
+                    np.sqrt(okb.sum() / w[okb].sum())
                 )
                 out["%s_n_conv" % name] = int(okb.sum())
         path = os.path.join(out_dir, "seed%d.npz" % seed)
@@ -302,8 +314,8 @@ def report(out_dir):
         "Gibbs conditional-crawl ~55, pseudo-marginal IS noise 20+ nats — "
         "see REPORT history.)",
         "",
-        "| seed | site | q mu | q sd | HMC bary (all) | bary (converged series) +- MCSE | HMC sd | |q-conv|/HMC sd | n_conv | worst R-hat | min ESS |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| seed | site | q mu | q sd | HMC bary (all) | bary (converged series) +- MCSE | HMC sd | |q-conv|/HMC sd | q sd / bary sd (conv) | n_conv | worst R-hat | min ESS |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     gaps = {s: [] for s in SITES}
     n_series_note = None
@@ -329,15 +341,21 @@ def report(out_dir):
                 n_series_note = n_total
             gap = abs(float(z["%s_q_mu" % s]) - mean_conv)
             rel = gap / max(float(z["%s_hmc_sd" % s]), 1e-12)
+            sd_conv_key = "%s_hmc_sd_conv" % s
+            sd_ratio = (
+                float(z["%s_q_sd" % s]) / max(float(z[sd_conv_key]), 1e-12)
+                if sd_conv_key in z.files else np.nan
+            )
             if has_conv:
-                gaps[s].append((gap, rel, n_conv))
+                gaps[s].append((gap, rel, n_conv, sd_ratio))
             lines.append(
-                "| %d | %s | %.3f | %.3f | %.3f | %s +- %.3f | %.3f | %s | %s | %.3f | %.0f |%s"
+                "| %d | %s | %.3f | %.3f | %.3f | %s +- %.3f | %.3f | %s | %s | %s | %.3f | %.0f |%s"
                 % (int(z["seed"]), s, z["%s_q_mu" % s], z["%s_q_sd" % s],
                    z["%s_hmc_mean" % s],
                    ("%.3f" % mean_conv) if has_conv else "—",
                    z["%s_hmc_mcse" % s], z["%s_hmc_sd" % s],
                    ("%.2f" % rel) if has_conv else "—",
+                   ("%.2f" % sd_ratio) if np.isfinite(sd_ratio) else "—",
                    "%d%s" % (n_conv, "/%d" % n_total if n_total else ""),
                    z["%s_rhat" % s], z["%s_hmc_ess" % s],
                    "" if has_conv else " GATE-FAIL (no converged series; excluded)")
@@ -356,13 +374,15 @@ def report(out_dir):
     for s in SITES:
         if not gaps[s]:
             continue
-        rels = [r for _, r, _ in gaps[s]]
+        rels = [r for _, r, _, _ in gaps[s]]
+        sdr = [x for _, _, _, x in gaps[s] if np.isfinite(x)]
         lines.append(
             "%s: mean |q - converged-series barycenter| = %.3f (%.2f posterior "
-            "sd, converged series only; mean n_conv %.1f); cross-implementation "
-            "battery shift for comparison: 0.57 (aR)."
-            % (s, float(np.mean([g for g, _, _ in gaps[s]])),
-               float(np.mean(rels)), float(np.mean([n for _, _, n in gaps[s]])))
+            "sd, converged series only; mean n_conv %.1f%s); "
+            "cross-implementation battery shift for comparison: 0.57 (aR)."
+            % (s, float(np.mean([g for g, _, _, _ in gaps[s]])),
+               float(np.mean(rels)), float(np.mean([n for _, _, n, _ in gaps[s]])),
+               ("; mean q-sd/bary-sd %.2f" % float(np.mean(sdr))) if sdr else "")
         )
     # Ensemble-stationarity drift: chains start AT q and the kernel leaves
     # the exact posterior invariant, so if q matched the posterior the

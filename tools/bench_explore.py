@@ -27,23 +27,24 @@ def measure(training, model, n_steps, repeats):
     params = model.init_params(key)
     opt_state = training.tx.init(params)
     host = training.train_data
-    idx = np.arange(36)
-    stack = lambda a: jnp.broadcast_to(jnp.asarray(a)[None], (n_steps,) + a.shape)
+    from vihds_tpu.training import split_device_data
+
+    data_dev = AttrDict(
+        (k, jnp.asarray(v)) for k, v in split_device_data(host).items()
+    )
     stacks = AttrDict(
-        observations=stack(host.observations[idx]),
-        inputs=stack(host.inputs[idx]),
-        dev_1hot=stack(host.dev_1hot[idx]),
+        idx=jnp.broadcast_to(jnp.arange(36, dtype=jnp.int32)[None], (n_steps, 36)),
         mask=jnp.ones((n_steps, 36), jnp.float32),
     )
     times = jnp.asarray(host.times)
-    fn = training._train_epoch
-    p, o, k, e = fn(params, opt_state, key, stacks, times)
+    fn = lambda p, o, k, s: training._train_epoch(p, o, k, s, data_dev, times)
+    p, o, k, e = fn(params, opt_state, key, stacks)
     jax.block_until_ready(e)
     assert np.isfinite(np.asarray(e)).all()
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        p, o, k, e = fn(p, o, k, stacks, times)
+        p, o, k, e = fn(p, o, k, stacks)
         jax.block_until_ready(e)
         rates.append(n_steps / (time.perf_counter() - t0))
     return {

@@ -122,12 +122,13 @@ def main():
     opt_state = tr.tx.init(params)
     n_steps, n_batch = 1, 8
     host = tr.train_data
-    idx = np.arange(n_batch)
-    stck = lambda a: jnp.broadcast_to(jnp.asarray(a[idx])[None], (n_steps, n_batch) + a.shape[1:])
+    from vihds_tpu.training import split_device_data
+
+    data_dev = AttrDict(
+        (k, jnp.asarray(v)) for k, v in split_device_data(host).items()
+    )
     stacks = AttrDict(
-        observations=stck(host.observations),
-        inputs=stck(host.inputs),
-        dev_1hot=stck(host.dev_1hot),
+        idx=jnp.broadcast_to(jnp.arange(n_batch, dtype=jnp.int32)[None], (n_steps, n_batch)),
         mask=jnp.ones((n_steps, n_batch), jnp.float32),
     )
     times = jnp.asarray(host.times)
@@ -138,7 +139,7 @@ def main():
     # runtime argument of the step).
     with parallel.use_mesh(mesh):
         compiled = tr._train_step_jit.lower(
-            params, opt_state, key, stacks, times, tr._priors
+            params, opt_state, key, stacks, data_dev, times, tr._priors
         ).compile()
         hlo = compiled.as_text()
 

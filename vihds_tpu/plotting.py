@@ -97,16 +97,42 @@ def plot_prediction_summary(
 ):
     """Observed data (red) vs posterior-predictive mean +- 2 std, one panel
     per device x signal (capability: reference prediction summary)."""
+    from matplotlib.collections import LineCollection, PolyCollection
+
     present = np.unique(device_ids)
     grid = PanelGrid(len(present), pred_mu.shape[1], figsize=(10, 2 * len(present)))
+    times = np.asarray(times)
+    t_band = np.concatenate([times, times[::-1]])
+    linestyle = "--" if "--" in style else "-"
     for r, device in enumerate(present):
         rows = rows_of(device_ids, device)
         for c in range(pred_mu.shape[1]):
             ax = grid.panel(r, c)
-            for mu, sd in zip(pred_mu[rows, c], pred_std[rows, c]):
-                credible_band(ax, times, mu, 2 * sd, color="grey")
-            ax.plot(times, observed[rows, c].T, "r-", lw=1)
-            ax.plot(times, pred_mu[rows, c].T, style, lw=1, alpha=0.75, color="k")
+            # one collection per artist family instead of one artist per
+            # series: at icml-split scale (234 series) per-series
+            # fill_between/plot cost ~7.6 s per figure; collections render
+            # the identical picture in ~0.5 s (round-5 figure pipeline)
+            mu_rc, sd_rc = pred_mu[rows, c], 2 * pred_std[rows, c]
+            bands = np.stack(
+                [
+                    np.column_stack(
+                        [t_band, np.concatenate([m - s, (m + s)[::-1]])]
+                    )
+                    for m, s in zip(mu_rc, sd_rc)
+                ]
+            )
+            ax.add_collection(
+                PolyCollection(bands, facecolor="grey", alpha=0.1, edgecolor="none")
+            )
+            obs_segs = [np.column_stack([times, o]) for o in observed[rows, c]]
+            ax.add_collection(LineCollection(obs_segs, colors="r", lw=1))
+            ax.add_collection(
+                LineCollection(
+                    [np.column_stack([times, m]) for m in mu_rc],
+                    colors="k", lw=1, alpha=0.75, linestyle=linestyle,
+                )
+            )
+            ax.autoscale_view()
             if clamp_y:
                 ax.set_ylim(-0.2, 1.2)
             if r == grid.n_rows - 1:

@@ -306,6 +306,7 @@ def hmc_refine(
     site_mask=None,
     return_trace=False,
     init_inflate=1.0,
+    mass_from_q=False,
 ):
     """HMC over z, one chain per (datapoint, sample) pair, initialised at q.
 
@@ -314,6 +315,15 @@ def hmc_refine(
     step size that is Robbins-Monro-adapted toward ``target_accept`` during
     the first half of the run.  Returns refined theta samples and diagnostics
     (including ``z_init``, the amortised starting draw).
+
+    ``mass_from_q=True`` preconditions the kinetic mass with each SERIES'
+    amortised q precision instead of the prior's — per-series posterior
+    curvature the encoder already estimated.  On tightly-identified local
+    coordinates (posterior sd << prior sd) the prior mass forces the whole
+    chain onto the tight coordinate's step scale, crawling the flat ones;
+    the q mass restores per-coordinate steps (round 5, for the per-series
+    ground-truth yardstick's convergence gate).  Only Normal/LogNormal
+    columns use q (bounded-family q parameterises theta-space, not z).
 
     ``site_mask`` ([n_theta] float, optional) restricts which sites the
     sampler MOVES; unmasked sites keep their per-chain amortised-q draw.
@@ -324,11 +334,20 @@ def hmc_refine(
     grad_log_joint = jax.grad(lambda z: log_joint(z).sum())
     mask = _sampled_mask(program) if site_mask is None else site_mask
     prior_prec = jnp.asarray(program.prior_prec)
-    inv_mass = jnp.where(mask > 0, 1.0 / prior_prec, 0.0)
-    base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(prior_prec), 0.0)
 
     key, k0 = jax.random.split(key)
     z, _, q = init_z_from_q(model, program, params, batch, k0, n_chains)
+    if mass_from_q:
+        z_param = jnp.asarray(
+            ~(program.is_truncated | program.is_kumaraswamy), jnp.float32
+        )
+        mass_prec = jnp.where(
+            z_param > 0, jnp.maximum(q.prec, 1e-12), prior_prec
+        )[:, None, :]                                    # [L, 1, n]
+    else:
+        mass_prec = prior_prec
+    inv_mass = jnp.where(mask > 0, 1.0 / mass_prec, 0.0)
+    base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(mass_prec), 0.0)
     if init_inflate != 1.0:
         # overdispersed multi-start (z-space inflation about q's mean):
         # init-robustness control for multi-basin posteriors — chains that
@@ -361,7 +380,7 @@ def hmc_refine(
         key_t, t = inp
         k_mom, k_acc = jax.random.split(key_t)
         step = jnp.exp(log_eps)[:, :, None] * base_step  # per-chain step
-        p = jax.random.normal(k_mom, z.shape) * jnp.sqrt(prior_prec) * mask
+        p = jax.random.normal(k_mom, z.shape) * jnp.sqrt(mass_prec) * mask
         lj0 = log_joint(z)
         ke0 = 0.5 * (p ** 2 * inv_mass).sum(-1)
         z_new, p_new = leapfrog(z, p, step)

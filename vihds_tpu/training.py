@@ -17,6 +17,7 @@ Capability parity with reference vihds/training.py, re-architected TPU-first:
     capability, without stalling the device pipeline).
 """
 
+import contextlib
 import math
 import os
 import time
@@ -200,6 +201,76 @@ def steps_cache_put(key, value):
         _STEP_CACHE.popitem(last=False)
 
 
+class PhaseTimers:
+    """Opt-in wall-clock accounting of the training loop's phases
+    (VIHDS_PHASE_TIMERS=1): cumulative seconds per named phase plus the
+    count, printed as one summary block at run end.  Used to produce the
+    BASELINE.md device-time accounting of the production wall."""
+
+    def __init__(self):
+        self.enabled = bool(os.environ.get("VIHDS_PHASE_TIMERS"))
+        self.acc = {}
+
+    @contextlib.contextmanager
+    def phase(self, name):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            dt = time.time() - t0
+            s, n = self.acc.get(name, (0.0, 0))
+            self.acc[name] = (s + dt, n + 1)
+
+    def report(self):
+        if not self.enabled or not self.acc:
+            return
+        print("--- phase accounting (wall seconds) ---")
+        for name, (s, n) in sorted(self.acc.items(), key=lambda kv: -kv[1][0]):
+            print("%-28s %9.2f s  (n=%d, %.3f s each)" % (name, s, n, s / n))
+
+
+class HostWorker:
+    """One background thread serializing deferred host-side eval-completion
+    work — figure rendering and TB figure writes (round 5: the fine-phase
+    accounting measured figures at 108 s of the icml 171 s wall, ALL of it
+    starving the device queue).  Matplotlib and torch's SummaryWriter are
+    safe under a single dedicated worker (the writer's event file has its
+    own internal queue+thread).  Values are unaffected: only rendering is
+    deferred; every number the loop consumes is computed on the main
+    thread.  VIHDS_SYNC_EVAL runs everything inline instead (the
+    bit-identical reference schedule for the equivalence tests)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        import traceback
+
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            try:
+                fn()
+            except Exception:  # a failed figure must not kill training
+                traceback.print_exc()
+
+    def submit(self, fn):
+        self._q.put(fn)
+
+    def join(self):
+        self._q.put(None)
+        self._t.join()
+
+
 def epoch_perm(seed, e, n_train):
     """Batch permutation for absolute epoch ``e``, derived from (seed, e)
     alone — a resumed run therefore sees exactly the batch orders the
@@ -210,11 +281,26 @@ def epoch_perm(seed, e, n_train):
     return np.random.RandomState((seed * 1_000_003 + e) % (2 ** 32)).permutation(n_train)
 
 
-def build_epoch_stacks(train_host, seed, epoch, end_epoch, n_batch, n_batches, n_train):
-    """Shuffled, padded batch-index stacks for epochs [epoch, end_epoch]:
-    a dict of numpy [n_ep*n_batches, n_batch, ...] arrays (observations,
-    inputs, dev_1hot, mask) ready for one fused lax.scan dispatch.  Pad
-    rows repeat index 0 and carry mask 0."""
+TRAIN_DATA_KEYS = ("observations", "inputs", "dev_1hot", "enc_observations")
+
+
+def split_device_data(host):
+    """The train split's model-facing arrays as one AttrDict — uploaded to
+    device ONCE per run; every train chunk then ships only a [n_steps, B]
+    int32 index grid and gathers its batches on device (jnp.take inside the
+    scan).  Replaces the round-2..4 scheme of gathering the full stacked
+    batch data on host and re-uploading ~7 MB per 20-epoch chunk through
+    the ~13-36 MB/s tunnel (VERDICT r4 #1)."""
+    return AttrDict((k, host[k]) for k in TRAIN_DATA_KEYS if k in host)
+
+
+def build_epoch_stacks(seed, epoch, end_epoch, n_batch, n_batches, n_train):
+    """Shuffled, padded batch-INDEX stacks for epochs [epoch, end_epoch]:
+    {idx: [n_ep*n_batches, n_batch] int32, mask: same-shape float32} for
+    one fused lax.scan dispatch over a device-resident split
+    (``split_device_data``).  Pad rows repeat index 0 and carry mask 0.
+    The gathered batches are bit-identical to the host-side fancy-indexing
+    this replaces — jnp.take copies rows exactly."""
     n_ep = end_epoch - epoch + 1
     pad_total = n_batches * n_batch - n_train
     perms = np.stack([epoch_perm(seed, e, n_train) for e in range(epoch, end_epoch + 1)])
@@ -222,11 +308,8 @@ def build_epoch_stacks(train_host, seed, epoch, end_epoch, n_batch, n_batches, n
     if pad_total:
         masks[:, n_train:] = 0.0
         perms = np.concatenate([perms, np.zeros((n_ep, pad_total), int)], axis=1)
-    idx = perms.reshape(n_ep * n_batches, n_batch)
     return dict(
-        observations=train_host.observations[idx],
-        inputs=train_host.inputs[idx],
-        dev_1hot=train_host.dev_1hot[idx],
+        idx=perms.reshape(n_ep * n_batches, n_batch).astype(np.int32),
         mask=masks.reshape(n_ep * n_batches, n_batch),
     )
 
@@ -273,6 +356,8 @@ def merge_eval_stacks(stacked_np, n_chunks, chunk, n):
         # [n_chunks, (4,)? chunk, ...] -> flatten the chunk axes, trim pad
         if k == "bk_stats":
             v = np.moveaxis(v, 1, 0).reshape(4, n_chunks * chunk, *v.shape[3:])[:, :n]
+        elif k == "tb_logw_row":
+            v = v[0]  # [n_chunks, K]: the split's row-ts lives in chunk 0
         else:
             v = v.reshape(n_chunks * chunk, *v.shape[2:])[:n]
         merged[k] = v
@@ -314,15 +399,22 @@ class LazyEvalSplit:
 
     SCALAR_KEYS = ("per_item_elbo",)
     SUMMARY_KEYS = ("bk_stats", "log_p_by_species", "q_mu", "q_prec")
+    # the periodic TB path fetches only the on-device-reduced packed stats
+    # (ONE [B, 1+3+S+2n] array + the [K] histogram row) — the tunnel
+    # charges per-array latency, so array COUNT is what matters
+    TB_KEYS = ("tb_packed", "tb_logw_row")
     RESULT_KEYS = (
         "q_mu", "q_prec",
         "iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance",
     )
 
-    def __init__(self, stacked_dev, n_chunks, chunk, n):
+    def __init__(self, stacked_dev, n_chunks, chunk, n, unpack=None):
         self._dev = dict(stacked_dev)
         self._theta_dev = self._dev.pop("theta_bkn", None)
         self._n_chunks, self._chunk, self._n = n_chunks, chunk, n
+        # (n_signals, n_theta) for slicing tb_packed; without it the packed
+        # fetch is skipped and the classic per-key fetches are used
+        self._unpack = unpack
         self.merged = AttrDict()
 
     @classmethod
@@ -332,6 +424,7 @@ class LazyEvalSplit:
         self = cls.__new__(cls)
         self._dev = {}
         self._theta_dev = None
+        self._unpack = None
         self.merged = merged
         return self
 
@@ -349,17 +442,37 @@ class LazyEvalSplit:
             v = np.moveaxis(v, 1, 0).reshape(4, nc * c, *v.shape[3:])[:, :n]
             for name, arr in zip(("log_w", "log_p_obs", "log_q", "log_p"), v):
                 self.merged[name] = arr
+        elif k == "tb_logw_row":
+            self.merged[k] = v[0]  # the split's row-ts lives in chunk 0
+        elif k == "tb_packed":
+            v = v.reshape(nc * c, *v.shape[2:])[:n]
+            S, nt = self._unpack
+            self.merged["per_item_elbo"] = v[:, 0]
+            self.merged["tb_stats"] = v[:, 1:4 + S]
+            self.merged["q_mu"] = v[:, 4 + S:4 + S + nt]
+            self.merged["q_prec"] = v[:, 4 + S + nt:]
         else:
             self.merged[k] = v.reshape(nc * c, *v.shape[2:])[:n]
 
     def want_scalars(self):
-        self._fetch("per_item_elbo")
+        # the packed array carries per_item_elbo in column 0 — one transfer
+        # covers the scalar AND any later TB consumption
+        if "per_item_elbo" not in self.merged:
+            if self._unpack is not None and "tb_packed" in self._dev:
+                self._fetch("tb_packed")
+            else:
+                self._fetch("per_item_elbo")
         if "elbo" not in self.merged:
             self.merged["elbo"] = float(np.mean(self.merged["per_item_elbo"]))
         return self.merged
 
     def want_summaries(self):
         for k in self.SUMMARY_KEYS:
+            self._fetch(k)
+        return self.merged
+
+    def want_tb(self):
+        for k in self.TB_KEYS:
             self._fetch(k)
         return self.merged
 
@@ -426,6 +539,8 @@ def steps_cache_key(settings, program, model, args, n_batch, steps_per_epoch, mu
         n_batch,
         steps_per_epoch,
         multi,
+        # the split-resident data arg bakes N_train into the trace
+        None if multi else host.observations.shape[0],
         None if multi else host.observations.shape[1:],
         None if multi else len(host.times),
         None if multi else host.inputs.shape[1:],
@@ -489,24 +604,37 @@ def update_summaries(writer, epoch, merged, program, settings):
         else:
             writer.add_scalar("%s/mu" % site.name, float(merged.q_mu[:, i].mean()), epoch)
             writer.add_scalar("%s/prec" % site.name, float(merged.q_prec[:, i].mean()), epoch)
-    log_w = merged.log_w
-    lse = merged.per_item_elbo + math.log(log_w.shape[1])
-    normed = np.exp(log_w - lse[:, None])
-    ts = min(1, log_w.shape[0] - 1)
-    variable_summaries(writer, epoch, log_w[ts, :], "IWS_unn_log", plot_histograms)
-    variable_summaries(writer, epoch, normed[ts, :], "IWS_normed", plot_histograms)
-    writer.add_scalar("ELBO/elbo", merged.elbo, epoch)
-    writer.add_scalar(
-        "ELBO/log_p", float(_np_logsumexp(merged.log_p_obs, 1).mean()), epoch
-    )
-    for i, name in enumerate(settings.data.signals):
-        writer.add_scalar(
-            "ELBO/log_p_" + name,
-            float(_np_logsumexp(merged.log_p_by_species[:, :, i], 1).mean()),
-            epoch,
+    if "log_w" in merged:
+        log_w = merged.log_w
+        K = log_w.shape[1]
+        ts = min(1, log_w.shape[0] - 1)
+        logw_row = log_w[ts, :]
+        lse_p_obs = _np_logsumexp(merged.log_p_obs, 1)
+        lse_p = _np_logsumexp(merged.log_p, 1)
+        lse_q = _np_logsumexp(merged.log_q, 1)
+        sp = np.stack(
+            [_np_logsumexp(merged.log_p_by_species[:, :, i], 1)
+             for i in range(merged.log_p_by_species.shape[2])], axis=-1,
         )
-    writer.add_scalar("ELBO/log_prior", float(_np_logsumexp(merged.log_p, 1).mean()), epoch)
-    writer.add_scalar("ELBO/loq_q", float(_np_logsumexp(merged.log_q, 1).mean()), epoch)
+    else:
+        # on-device-reduced stats (eval_step tb_stats/tb_logw_row): same
+        # numbers, ~KB transfers
+        logw_row = merged.tb_logw_row
+        K = logw_row.shape[0]
+        ts = min(1, merged.per_item_elbo.shape[0] - 1)
+        lse_p_obs = merged.tb_stats[:, 0]
+        lse_p = merged.tb_stats[:, 1]
+        lse_q = merged.tb_stats[:, 2]
+        sp = merged.tb_stats[:, 3:]
+    normed_row = np.exp(logw_row - (merged.per_item_elbo[ts] + math.log(K)))
+    variable_summaries(writer, epoch, logw_row, "IWS_unn_log", plot_histograms)
+    variable_summaries(writer, epoch, normed_row, "IWS_normed", plot_histograms)
+    writer.add_scalar("ELBO/elbo", merged.elbo, epoch)
+    writer.add_scalar("ELBO/log_p", float(lse_p_obs.mean()), epoch)
+    for i, name in enumerate(settings.data.signals):
+        writer.add_scalar("ELBO/log_p_" + name, float(sp[:, i].mean()), epoch)
+    writer.add_scalar("ELBO/log_prior", float(lse_p.mean()), epoch)
+    writer.add_scalar("ELBO/loq_q", float(lse_q.mean()), epoch)
 
 
 def make_step_fns(model, program, tx, args):
@@ -545,14 +673,16 @@ def make_step_fns(model, program, tx, args):
         def vag(params, batch, mask, key, priors):
             return jax.value_and_grad(loss_fn)(params, batch, mask, key, priors)
 
-    def train_epoch(params, opt_state, key, stacks, times, priors):
+    def train_epoch(params, opt_state, key, stacks, data, times, priors):
         """All of an epoch's batches in ONE device dispatch: lax.scan over
-        ``stacks`` — an AttrDict pytree of [n_steps, B, ...] arrays
-        (observations, inputs, dev_1hot, mask, and for non-merged
-        multi-file data enc_observations).  This removes the per-step
-        host round-trip that dominates wall-clock for models this small
-        (the reference pays a full Python solver loop per batch,
-        vihds/solvers.py:9-17).
+        ``stacks`` — {idx: [n_steps, B] int32, mask: [n_steps, B]} — with
+        each step's batch GATHERED ON DEVICE (jnp.take) from ``data``, the
+        split-resident arrays (observations, inputs, dev_1hot, and for
+        non-merged multi-file data enc_observations).  This removes both
+        the per-step host round-trip the reference pays (a full Python
+        solver loop per batch, vihds/solvers.py:9-17) AND the per-chunk
+        ~7 MB stacked-batch upload through the tunnel (only the ~20 KB
+        index grid ships per chunk — VERDICT r4 #1).
 
         ``priors`` (program.runtime_priors() arrays) ride as ARGUMENTS so
         that inference-graph nodes differing only in (propagated) prior
@@ -561,8 +691,8 @@ def make_step_fns(model, program, tx, args):
         def body(carry, xs):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            batch = AttrDict(xs)
-            mask = batch.pop("mask")
+            batch = AttrDict((k, jnp.take(v, xs["idx"], axis=0)) for k, v in data.items())
+            mask = xs["mask"]
             batch["times"] = times
             loss, grads = vag(params, batch, mask, sub, priors)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -581,12 +711,36 @@ def make_step_fns(model, program, tx, args):
         lse = jax.scipy.special.logsumexp(terms.log_w, axis=1)
         per_item_elbo = lse - math.log(n_samples)
         iw = _importance_weighted_outputs(terms, out)
+        # On-device reduction of everything a periodic boundary needs
+        # (round 5): ONE packed [B, 1+3+S+2n] array — per-item ELBO, the
+        # per-item logsumexps of log_p_obs/log_p/log_q, the per-species
+        # per-item logsumexp, and q's moments — plus the [K] row-ts log_w
+        # histogram input.  The tunnel charges ~40-100 ms PER ARRAY, so the
+        # old bk_stats/q fetches (~4 arrays x 2 splits x 50 boundaries)
+        # were latency-bound regardless of size.
+        lse = jax.scipy.special.logsumexp
+        tb_packed = jnp.concatenate(
+            [
+                per_item_elbo[:, None],
+                jnp.stack(
+                    [lse(terms.log_p_obs, 1), lse(terms.log_p, 1), lse(terms.log_q, 1)],
+                    axis=-1,
+                ),
+                lse(terms.log_p_by_species, axis=1),
+                out.q.mu,
+                out.q.prec,
+            ],
+            axis=-1,
+        )
+        ts = min(1, terms.log_w.shape[0] - 1)
         res = AttrDict(
             per_item_elbo=per_item_elbo,
             # one packed [4, B, K] transfer instead of four (the tunnel
             # charges per-array latency, not just bandwidth)
             bk_stats=jnp.stack([terms.log_w, terms.log_p_obs, terms.log_q, terms.log_p]),
             log_p_by_species=terms.log_p_by_species,
+            tb_packed=tb_packed,
+            tb_logw_row=terms.log_w[ts],
             q_mu=out.q.mu,
             q_prec=out.q.prec,
             **iw,
@@ -739,7 +893,7 @@ class Training:
         self._eval_split_jit = getattr(eval_jit, "_jitted", eval_jit)
         priors = self._priors
         # External signatures stay priors-free; each instance binds its own.
-        self._train_epoch = lambda p, o, k, s, t: train_jit(p, o, k, s, t, priors)
+        self._train_epoch = lambda p, o, k, s, d, t: train_jit(p, o, k, s, d, t, priors)
         self._eval_split = lambda p, s, t, k, n, w: eval_jit(p, s, t, k, priors, n, w)
 
     def _dev(self, x):
@@ -794,8 +948,10 @@ class Training:
             # host-side fetches (ELBO NaN check, eval merges, best-val
             # decisions) are addressable and identical on every process.
             out_sh = {"out_shardings": repl} if self.multiprocess else {}
-            # Train: [n_steps, B, ...] batch stacks shard their B rows over
-            # 'data'; the latent draw u is constrained to P('data','sample')
+            # Train: the [n_steps, B] idx/mask grids shard their B columns
+            # over 'data', so each step's on-device gather (jnp.take from
+            # the replicated split data) lands its batch rows pre-sharded;
+            # the latent draw u is constrained to P('data','sample')
             # inside the step (vihds_tpu/parallel.constrain_u), so every
             # [B, K, ...] intermediate — including the ODE trajectory — is
             # sharded over both mesh axes and GSPMD inserts the gradient
@@ -804,8 +960,9 @@ class Training:
                 jax.jit(
                     train_epoch,
                     # `stacked` applies as a pytree prefix to every leaf of
-                    # the stacks AttrDict: batch rows (axis 1) over 'data'
-                    in_shardings=(repl, repl, repl, stacked, repl, repl),
+                    # the stacks AttrDict: batch rows (axis 1) over 'data';
+                    # the split-resident data arg stays replicated
+                    in_shardings=(repl, repl, repl, stacked, repl, repl, repl),
                     donate_argnums=(0, 1),
                     **out_sh,
                 )
@@ -877,7 +1034,8 @@ class Training:
         chunk = chunk or self.n_batch
         stacks, times, n, n_chunks = self._eval_input_stacks(host_data, chunk, cache_key)
         stacked = self._eval_split(params, stacks, times, key, n_samples, with_theta)
-        return LazyEvalSplit(stacked, n_chunks, chunk, n)
+        unpack = (len(self.settings.data.signals), self.program.n_theta)
+        return LazyEvalSplit(stacked, n_chunks, chunk, n, unpack=unpack)
 
     def _eval_full(self, params, host_data, n_samples, key, chunk=None, with_theta=True,
                    defer_theta=False):
@@ -915,6 +1073,11 @@ class Training:
         for (file_i, host, pos), k in zip(groups, keys):
             part = self._eval_full(params, host, n_samples, k, with_theta=with_theta)
             part.pop("elbo")
+            # per-file row-ts histogram rows don't merge across files; the
+            # multi path fetches full log_w anyway (update_summaries uses it)
+            part.pop("tb_logw_row", None)
+            part.pop("tb_stats", None)
+            part.pop("tb_packed", None)
             snap = self.enc_idx[file_i]
             for name in ("iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance"):
                 part[name] = part[name][:, :, snap]
@@ -1003,14 +1166,23 @@ class Training:
         to the synchronous eval (tests/test_run_xval.py pins this)."""
         epoch = pend.epoch
         t0 = time.time()
+        timers = getattr(self, "_timers", None) or PhaseTimers()
         print("epoch %4d" % epoch, end="", flush=True)
         log_data.n_test += 1
         dynamic = self.model.ode_model.precisions.dynamic
 
-        train_merged = pend.train.want_scalars()
-        if train_writer is not None:
-            pend.train.want_summaries()
-        self._update_summaries(train_writer, epoch, train_merged)
+        # the first fetch blocks until the eval's device compute finishes
+        # (everything after it is host/tunnel work) — timed separately so
+        # the accounting can attribute device-queue wait vs host cost
+        with timers.phase("eval.complete.device_wait"):
+            train_merged = pend.train.want_scalars()
+            pend.valid.want_scalars()
+        worker = self._host_worker
+        with timers.phase("eval.complete.fetch_summaries"):
+            if train_writer is not None:
+                pend.train.want_tb()
+        with timers.phase("eval.complete.tb"):
+            self._update_summaries(train_writer, epoch, train_merged)
         print(
             " | train (iwae-elbo = %0.4f, time = %0.2f, total = %0.2f)"
             % (
@@ -1022,41 +1194,64 @@ class Training:
             flush=True,
         )
         if train_writer is not None and pend.plot:
-            pend.train.want_results()
-            if pend.want_theta_plot:
-                pend.train.want_theta()
-            train_output = self._make_results(train_merged)
-            plotting_hooks.eval_plots(
-                self, train_writer, epoch, self.train_data, train_output, dynamic=dynamic
-            )
+            with timers.phase("eval.complete.figures"):
+                pend.train.want_results()
+                if pend.want_theta_plot:
+                    # the weighted-theta figure reads the full log_w + theta
+                    pend.train.want_summaries()
+                    pend.train.want_theta()
+                train_output = self._make_results(train_merged)
+                fig_train = lambda: plotting_hooks.eval_plots(
+                    self, train_writer, epoch, self.train_data, train_output, dynamic=dynamic
+                )
+                worker.submit(fig_train) if worker else fig_train()
 
         valid_merged = pend.valid.want_scalars()
         improved = valid_merged.elbo > log_data.max_val_elbo
-        if valid_writer is not None:
-            pend.valid.want_summaries()
-        self._update_summaries(valid_writer, epoch, valid_merged)
+        with timers.phase("eval.complete.fetch_summaries"):
+            if valid_writer is not None:
+                pend.valid.want_tb()
+        with timers.phase("eval.complete.tb"):
+            self._update_summaries(valid_writer, epoch, valid_merged)
         valid_output = None
-        if improved or (valid_writer is not None and pend.plot):
-            # a Results is only built when something consumes it: the
-            # best-val cache dump or a figure (non-improving, non-plot
-            # boundaries skip the iw/theta transfers entirely)
-            pend.valid.want_results()
-            if improved:
-                pend.valid.want_theta()
-            valid_merged.pop("_theta_fetch", None)
-            valid_output = self._make_results(valid_merged)
         if valid_writer is not None and pend.plot:
-            plotting_hooks.eval_plots(
-                self, valid_writer, epoch, self.valid_data, valid_output, dynamic=dynamic
-            )
-            if pend.want_theta_plot:
-                plotting_hooks.weighted_theta_plot(
-                    self, valid_writer, epoch, train_merged
+            # the figure needs the predictive moments now; rendering itself
+            # rides the host worker
+            with timers.phase("eval.complete.fetch_results"):
+                pend.valid.want_results()
+                valid_merged.pop("_theta_fetch", None)
+                valid_output = self._make_results(valid_merged)
+            with timers.phase("eval.complete.figures"):
+                fig_valid = lambda: (
+                    plotting_hooks.eval_plots(
+                        self, valid_writer, epoch, self.valid_data, valid_output, dynamic=dynamic
+                    ),
+                    pend.want_theta_plot and plotting_hooks.weighted_theta_plot(
+                        self, valid_writer, epoch, train_merged
+                    ),
                 )
+                worker.submit(fig_valid) if worker else fig_valid()
         if improved:
             log_data.max_val_elbo = valid_merged.elbo
-            valid_output.dump(self.cache_dir)
-            self.empty_cache = False
+            # Defer the best-val materialization (the ~19 MB theta fetch +
+            # Results build + disk dump): hold the winning eval's device
+            # handle; it is materialized once — at the next best (released),
+            # or at run end / NaN abort (_flush_best) — producing the
+            # identical final cache artifact with ~25 s less tunnel traffic
+            # per icml run (round-5 accounting).  VIHDS_SYNC_EVAL keeps the
+            # old materialize-at-boundary behavior.
+            if self._sync_eval:
+                with timers.phase("eval.complete.fetch_results"):
+                    pend.valid.want_results()
+                    pend.valid.want_theta()
+                    valid_merged.pop("_theta_fetch", None)
+                    valid_output = self._make_results(valid_merged)
+                with timers.phase("eval.complete.dump"):
+                    valid_output.dump(self.cache_dir)
+                self.empty_cache = False
+                self._pending_best = None
+            else:
+                self._pending_best = pend.valid
 
         log_data.training_elbo_list.append(train_merged.elbo)
         log_data.validation_elbo_list.append(valid_merged.elbo)
@@ -1070,6 +1265,40 @@ class Training:
             )
         )
         return valid_output
+
+    def _flush_best(self):
+        """Materialize the deferred best-val eval: fetch its predictive
+        moments + theta, build the Results, dump it to the cache dir.  The
+        handle pins the dispatched device outputs, so the artifact is
+        bit-identical to materializing at the eval's own boundary."""
+        pend_v = getattr(self, "_pending_best", None)
+        if pend_v is None:
+            return None
+        self._pending_best = None
+        merged = pend_v.want_scalars()
+        pend_v.want_results()
+        pend_v.want_theta()
+        merged.pop("_theta_fetch", None)
+        out = self._make_results(merged)
+        out.dump(self.cache_dir)
+        self.empty_cache = False
+        return out
+
+    def _train_file_data(self, file_i, host):
+        """Per-file device-resident train data + times for the merge:false
+        path, uploaded once per run (under --distributed these are
+        replicated numpy — every process holds the identical file data, so
+        merge:false trains multi-process exactly like the merged path)."""
+        cache = getattr(self, "_train_file_cache", None)
+        if cache is None:
+            cache = self._train_file_cache = {}
+        hit = cache.get(file_i)
+        if hit is None:
+            hit = cache[file_i] = (
+                AttrDict((k, self._dev(v)) for k, v in split_device_data(host).items()),
+                self._dev(host.times),
+            )
+        return hit
 
     def _run_multi_epochs(self, params, opt_state, key, seed, epoch, end_epoch):
         """Train epochs [epoch, end_epoch] over non-merged files: one fused
@@ -1089,20 +1318,13 @@ class Training:
                 if pad:
                     mask[n_f:] = 0.0
                     perm = np.concatenate([perm, np.zeros(pad, int)])
-                idx = perm.reshape(nb, self.n_batch)
-                # _dev_stacked/_dev: under --distributed these build global
-                # (row-sharded / replicated) arrays — every process holds the
-                # identical file data, so merge:false trains multi-process
-                # exactly like the merged path
                 stacks = AttrDict(
-                    observations=self._dev_stacked(host.observations[idx]),
-                    enc_observations=self._dev_stacked(host.enc_observations[idx]),
-                    inputs=self._dev_stacked(host.inputs[idx]),
-                    dev_1hot=self._dev_stacked(host.dev_1hot[idx]),
+                    idx=self._dev_stacked(perm.reshape(nb, self.n_batch).astype(np.int32)),
                     mask=self._dev_stacked(mask.reshape(nb, self.n_batch)),
                 )
+                data, times_f = self._train_file_data(file_i, host)
                 params, opt_state, key, elbos = self._train_epoch(
-                    params, opt_state, key, stacks, self._dev(host.times)
+                    params, opt_state, key, stacks, data, times_f
                 )
                 all_elbos.append(np.asarray(elbos))
         return params, opt_state, key, np.concatenate(all_elbos)
@@ -1187,6 +1409,13 @@ class Training:
         n_train = self.dataset_pair.n_train
         train_host = self.train_data
         times = self._dev(train_host.times)
+        # the full train split lives on device for the whole run; train
+        # chunks ship only their [n_steps, B] index grids (see train_epoch)
+        train_dev = None
+        if not self.multi:
+            train_dev = AttrDict(
+                (k, self._dev(v)) for k, v in split_device_data(train_host).items()
+            )
 
         log_data = TrainingLogData()
         print("---------------------------")
@@ -1197,6 +1426,8 @@ class Training:
         valid_output = None
         iterating = True
         epoch = start_epoch
+        timers = self._timers = PhaseTimers()
+        run_t0 = time.time()
         n_batches = math.ceil(n_train / self.n_batch)
         profile_dir = getattr(self.args, "profile_dir", None)
         traced = False
@@ -1230,6 +1461,13 @@ class Training:
         # (bit-identical values; the equivalence is regression-tested).
         pending_eval = None
         sync_eval = bool(os.environ.get("VIHDS_SYNC_EVAL"))
+        self._sync_eval = sync_eval
+        # figure rendering rides one background thread (see HostWorker);
+        # sync mode keeps every completion inline for the equivalence tests
+        self._host_worker = (
+            HostWorker() if (not sync_eval and self.settings.trainer is not None) else None
+        )
+        self._pending_best = None
 
         def _nan_abort(elbos):
             if elbos is not None and not np.isfinite(np.asarray(elbos)).all():
@@ -1255,21 +1493,28 @@ class Training:
                     # to the next eval/checkpoint boundary (host+tunnel
                     # overhead is ~25x the device compute per epoch otherwise
                     # — see BASELINE.md).
-                    stacks = AttrDict(
-                        (k, self._dev_stacked(v))
-                        for k, v in build_epoch_stacks(
-                            train_host, seed, epoch, end_epoch,
+                    with timers.phase("train.build_stacks"):
+                        host_stacks = build_epoch_stacks(
+                            seed, epoch, end_epoch,
                             self.n_batch, n_batches, n_train,
-                        ).items()
-                    )
-                    params, opt_state, key, chunk_elbos = self._train_epoch(
-                        params, opt_state, key, stacks, times
-                    )
+                        )
+                    with timers.phase("train.upload"):
+                        stacks = AttrDict(
+                            (k, self._dev_stacked(v)) for k, v in host_stacks.items()
+                        )
+                        if timers.enabled:
+                            jax.block_until_ready(stacks)
+                    with timers.phase("train.dispatch"):
+                        params, opt_state, key, chunk_elbos = self._train_epoch(
+                            params, opt_state, key, stacks, train_dev, times
+                        )
                 if do_trace:
                     jax.block_until_ready(chunk_elbos)
                     traced = True
             # Check the PREVIOUS chunk now (overlaps this chunk's execution).
-            if _nan_abort(pending_elbos):
+            with timers.phase("train.nan_check_prev"):
+                aborted = _nan_abort(pending_elbos)
+            if aborted:
                 iterating = False
                 chunk_elbos = None  # consumed: don't re-print post-loop
                 pending_eval = None  # dispatched on the NaN chunk's params
@@ -1277,15 +1522,17 @@ class Training:
             if iterating and pending_eval is not None:
                 # complete the previous boundary's eval while this chunk runs
                 # (charged to test time, not train time)
-                valid_output = self._complete_eval(
-                    pending_eval, log_data, train_writer, valid_writer
-                ) or valid_output
+                with timers.phase("eval.complete"):
+                    valid_output = self._complete_eval(
+                        pending_eval, log_data, train_writer, valid_writer
+                    ) or valid_output
                 pending_eval = None
             pending_elbos = chunk_elbos
             epoch = end_epoch
             if iterating and np.mod(epoch, self.args.test_epoch) == 0:
                 key, sub = self._split_key(key)
-                pending_eval = self._dispatch_eval(params, epoch, sub)
+                with timers.phase("eval.dispatch"):
+                    pending_eval = self._dispatch_eval(params, epoch, sub)
                 if sync_eval:
                     if _nan_abort(pending_elbos):
                         iterating = False
@@ -1322,9 +1569,21 @@ class Training:
         if _nan_abort(pending_elbos):
             pending_eval = None
         if pending_eval is not None:
-            valid_output = self._complete_eval(
-                pending_eval, log_data, train_writer, valid_writer
-            ) or valid_output
+            with timers.phase("eval.complete"):
+                valid_output = self._complete_eval(
+                    pending_eval, log_data, train_writer, valid_writer
+                ) or valid_output
+        # materialize the deferred best-val (fetch + Results + dump) — the
+        # artifact is identical to the per-boundary dump it replaces
+        with timers.phase("eval.flush_best"):
+            valid_output = self._flush_best() or valid_output
+        if self._host_worker is not None:
+            with timers.phase("eval.figure_tail"):
+                self._host_worker.join()
+            self._host_worker = None
+        if timers.enabled:
+            print("run loop wall: %.2f s" % (time.time() - run_t0))
+            timers.report()
         if train_writer is not None:
             train_writer.close()
             valid_writer.close()

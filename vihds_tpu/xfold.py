@@ -47,11 +47,11 @@ from vihds_tpu import plotting_hooks
 from vihds_tpu.data.datasets import build_datasets
 from vihds_tpu.prob import ParamProgram, parse_parameters
 from vihds_tpu.training import (
+    HostWorker,
     build_epoch_stacks,
     make_optimizer,
     make_results,
     make_step_fns,
-    merge_eval_stacks,
     reshape_eval_theta,
     steps_cache_get,
     steps_cache_key,
@@ -61,6 +61,94 @@ from vihds_tpu.training import (
 from vihds_tpu.utils import TrainingLogData
 from vihds_tpu.utils.attrdict import AttrDict
 from vihds_tpu.vae import VAE
+
+
+class FoldLazyEval:
+    """Fold-stacked analogue of training.LazyEvalSplit: the vmapped eval's
+    [F, n_chunks, chunk, ...] device outputs, fetched per KEY on demand —
+    each fetch is ONE host transfer covering every fold, and only the keys
+    a consumer actually reads move (round 5: TB boundaries pull the
+    on-device-reduced tb stats, the predictive moments/theta move only for
+    improving or plotting folds).  Per-fold merged dicts accumulate in
+    ``self.merged`` (None for NaN-frozen folds)."""
+
+    SCALAR_KEYS = ("per_item_elbo",)
+    TB_KEYS = ("tb_packed", "tb_logw_row")
+    SUMMARY_KEYS = ("bk_stats", "log_p_by_species", "q_mu", "q_prec")
+    RESULT_KEYS = (
+        "q_mu", "q_prec",
+        "iw_predict_mu", "iw_predict_std", "iw_states", "iw_variance",
+    )
+
+    def __init__(self, stacked_dev, ns, n_chunks, chunk, alive=None, unpack=None):
+        self._dev = dict(stacked_dev)
+        self._theta_dev = self._dev.pop("theta_bkn", None)
+        self._ns, self._n_chunks, self._chunk = ns, n_chunks, chunk
+        self._unpack = unpack  # (n_signals, n_theta) for tb_packed slicing
+        self.merged = [
+            None if (alive is not None and not alive[f]) else AttrDict()
+            for f in range(len(ns))
+        ]
+
+    def _fetch(self, k):
+        v = self._dev.pop(k, None)
+        if v is None:
+            return
+        v = np.asarray(v)  # one transfer, all folds
+        nc, c = self._n_chunks, self._chunk
+        for f, m in enumerate(self.merged):
+            if m is None:
+                continue
+            part, n = v[f], self._ns[f]
+            if k == "bk_stats":
+                part = np.moveaxis(part, 1, 0).reshape(4, nc * c, *part.shape[3:])[:, :n]
+                for name, arr in zip(("log_w", "log_p_obs", "log_q", "log_p"), part):
+                    m[name] = arr
+            elif k == "tb_logw_row":
+                m[k] = part[0]
+            elif k == "tb_packed":
+                part = part.reshape(nc * c, *part.shape[2:])[:n]
+                S, nt = self._unpack
+                m["per_item_elbo"] = part[:, 0]
+                m["tb_stats"] = part[:, 1:4 + S]
+                m["q_mu"] = part[:, 4 + S:4 + S + nt]
+                m["q_prec"] = part[:, 4 + S + nt:]
+            else:
+                m[k] = part.reshape(nc * c, *part.shape[2:])[:n]
+
+    def want_scalars(self):
+        if self._unpack is not None and "tb_packed" in self._dev:
+            self._fetch("tb_packed")
+        else:
+            self._fetch("per_item_elbo")
+        for m in self.merged:
+            if m is not None and "elbo" not in m:
+                m["elbo"] = float(np.mean(m["per_item_elbo"]))
+        return self.merged
+
+    def want_tb(self):
+        for k in self.TB_KEYS:
+            self._fetch(k)
+        return self.merged
+
+    def want_summaries(self):
+        for k in self.SUMMARY_KEYS:
+            self._fetch(k)
+        return self.merged
+
+    def want_results(self):
+        for k in self.RESULT_KEYS:
+            self._fetch(k)
+        return self.merged
+
+    def fetch_theta(self, f):
+        """Per-fold theta transfer (device-side [F] slice, ships one fold)."""
+        m = self.merged[f]
+        if m is not None and "theta" not in m and self._theta_dev is not None:
+            m["theta"] = reshape_eval_theta(
+                np.asarray(self._theta_dev[f]), self._n_chunks, self._chunk, self._ns[f]
+            )
+        return m
 
 
 class UnsupportedVmapXval(ValueError):
@@ -193,7 +281,8 @@ class VmapXval:
             self.settings, self.program, self.model, self.args,
             self.n_batch, self.steps_per_epoch, False, self.train_hosts[0], self.fold_mesh,
         )
-        key = ("vmap_folds", self.folds) + base
+        n_max = max(h.observations.shape[0] for h in self.train_hosts)
+        key = ("vmap_folds", self.folds, n_max) + base
         cached = steps_cache_get(key)
         if cached is not None:
             self._train_v, self._eval_jits = cached
@@ -201,12 +290,14 @@ class VmapXval:
         train_epoch, eval_split = make_step_fns(self.model, self.program, self.tx, self.args)
         self._eval_split_raw = eval_split
 
-        def batched_train(params_v, opt_v, keys_v, stacks_v, times, priors):
+        def batched_train(params_v, opt_v, keys_v, stacks_v, data_v, times, priors):
             # times and priors are shared across folds (same merged grid,
-            # same spec); everything else carries the leading fold axis
+            # same spec); everything else — including each fold's
+            # device-resident train split (padded to a common N, see
+            # _train_data_folds) — carries the leading fold axis
             return jax.vmap(
-                lambda pp, oo, kk, ss: train_epoch(pp, oo, kk, ss, times, priors)
-            )(params_v, opt_v, keys_v, stacks_v)
+                lambda pp, oo, kk, ss, dd: train_epoch(pp, oo, kk, ss, dd, times, priors)
+            )(params_v, opt_v, keys_v, stacks_v, data_v)
 
         fold_sh, repl = self._fold_shardings()
         if fold_sh is not None:
@@ -214,7 +305,7 @@ class VmapXval:
             # communicate, so the partitioned program has zero collectives
             self._train_v = jax.jit(
                 batched_train,
-                in_shardings=(fold_sh, fold_sh, fold_sh, fold_sh, repl, repl),
+                in_shardings=(fold_sh, fold_sh, fold_sh, fold_sh, fold_sh, repl, repl),
                 donate_argnums=(0, 1),
             )
         else:
@@ -223,6 +314,32 @@ class VmapXval:
         # does not survive the vmap wrapper, so close over them instead
         self._eval_jits = {}
         steps_cache_put(key, (self._train_v, self._eval_jits))
+
+    def _train_data_folds(self):
+        """[F, N_max, ...] device-resident train splits for the on-device
+        batch gather (train_epoch's ``data`` arg), uploaded ONCE per run.
+        Folds whose split is smaller than N_max pad by repeating row 0 —
+        pad rows are never indexed (epoch_perm draws over each fold's own
+        n_train; index-grid pad slots point at row 0 with mask 0)."""
+        cached = getattr(self, "_train_data_v", None)
+        if cached is not None:
+            return cached
+        from vihds_tpu.training import split_device_data
+
+        hosts = [split_device_data(h) for h in self.train_hosts]
+        n_max = max(h.observations.shape[0] for h in hosts)
+
+        def pad(x):
+            n = x.shape[0]
+            if n == n_max:
+                return x
+            return np.concatenate([x, np.broadcast_to(x[:1], (n_max - n,) + x.shape[1:])])
+
+        self._train_data_v = AttrDict(
+            (k, jnp.asarray(np.stack([pad(np.asarray(h[k])) for h in hosts])))
+            for k in hosts[0]
+        )
+        return self._train_data_v
 
     def _eval_v(self, params_v, stacks_v, times, keys_v, n_samples, with_theta):
         k = (int(n_samples), bool(with_theta))
@@ -283,30 +400,8 @@ class VmapXval:
         stacked = self._eval_v(
             params_v, stacks, times, keys_v, n_samples, with_theta or defer_theta
         )
-        stacked = dict(stacked)
-        theta_dev = stacked.pop("theta_bkn", None)
-        # ONE host transfer per output key covers every fold — this is the
-        # transfer-amortisation that makes the vmapped driver fast through
-        # the tunnel
-        stacked = jax.tree_util.tree_map(np.asarray, stacked)
-        merged_folds = []
-        for f, n in enumerate(ns):
-            if alive is not None and not alive[f]:
-                merged_folds.append(None)
-                continue
-            merged = merge_eval_stacks(
-                {k: v[f] for k, v in stacked.items()}, n_chunks, chunk, n
-            )
-            if theta_dev is not None:
-                def _fetch(f=f, n=n):
-                    return reshape_eval_theta(np.asarray(theta_dev[f]), n_chunks, chunk, n)
-
-                if with_theta:
-                    merged["theta"] = _fetch()
-                else:
-                    merged["_theta_fetch"] = _fetch
-            merged_folds.append(merged)
-        return merged_folds
+        unpack = (len(self.settings.data.signals), self.program.n_theta)
+        return FoldLazyEval(dict(stacked), ns, n_chunks, chunk, alive, unpack=unpack)
 
     def _fold_proxy(self, f):
         """Duck-typed stand-in for a Training instance, for plotting hooks."""
@@ -334,6 +429,13 @@ class VmapXval:
         else:
             train_writers = [None] * F
             valid_writers = [None] * F
+        # figure rendering rides one background thread (training.HostWorker);
+        # VIHDS_SYNC_EVAL keeps it inline for deterministic schedules
+        self._host_worker = (
+            HostWorker()
+            if (self.settings.trainer is not None and not os.environ.get("VIHDS_SYNC_EVAL"))
+            else None
+        )
 
         # Mirror the sequential driver exactly: every fold starts from the
         # SAME seed-derived key, so init params and every u draw match what
@@ -408,22 +510,18 @@ class VmapXval:
                     # NaN-frozen fold: the device program still needs its
                     # [F, ...] slice, but its contents are irrelevant (params
                     # are already NaN and its elbos are ignored) — skip the
-                    # per-epoch RandomState permutations and reuse row 0.
+                    # per-epoch RandomState permutations and gather row 0.
                     if dead_stack is None:
                         n_steps = n_ep * self.n_batches
-                        idx = np.zeros((n_steps, self.n_batch), int)
-                        host = self.train_hosts[f]
                         dead_stack = dict(
-                            observations=host.observations[idx],
-                            inputs=host.inputs[idx],
-                            dev_1hot=host.dev_1hot[idx],
+                            idx=np.zeros((n_steps, self.n_batch), np.int32),
                             mask=np.ones((n_steps, self.n_batch), np.float32),
                         )
                     fold_stacks.append(dead_stack)
                     continue
                 fold_stacks.append(
                     build_epoch_stacks(
-                        self.train_hosts[f], seed, epoch, end_epoch,
+                        seed, epoch, end_epoch,
                         self.n_batch, self.n_batches, n_trains[f],
                     )
                 )
@@ -433,7 +531,8 @@ class VmapXval:
             )
             trained = list(alive)  # folds that actually trained this dispatch
             params_v, opt_v, keys_v, elbos_v = self._train_v(
-                params_v, opt_v, keys_v, stacks_v, times, self._priors
+                params_v, opt_v, keys_v, stacks_v, self._train_data_folds(),
+                times, self._priors
             )
             elbos_v = np.asarray(elbos_v)
             for f in range(F):
@@ -473,6 +572,9 @@ class VmapXval:
                 )
             epoch += 1
 
+        if self._host_worker is not None:
+            self._host_worker.join()
+            self._host_worker = None
         for w in train_writers + valid_writers:
             if w is not None:
                 w.close()
@@ -499,52 +601,85 @@ class VmapXval:
         plot = (args.plot_epoch > 0) and (np.mod(epoch, args.plot_epoch) == 0)
         want_theta_plot = bool(getattr(self.settings.params, "theta_columns", None)) and plot
 
-        train_folds = self._eval_folds(
+        train_ev = self._eval_folds(
             params_v, self.train_hosts, args.train_samples, k1_v,
             with_theta=want_theta_plot, alive=alive,
         )
-        valid_folds = self._eval_folds(
+        valid_ev = self._eval_folds(
             params_v, self.valid_hosts, args.test_samples, k2_v,
             with_theta=False, defer_theta=True, alive=alive,
         )
+        train_ev.want_scalars()
+        valid_ev.want_scalars()
+        have_writers = any(w is not None for w in train_writers + valid_writers)
+        if have_writers:
+            train_ev.want_tb()
+            valid_ev.want_tb()
+        # predictive moments move only when some live fold improved or a
+        # figure is due (the transfer covers all folds at once either way)
+        any_improved = any(
+            alive[f] and valid_ev.merged[f].elbo > log_datas[f].max_val_elbo
+            for f in range(F)
+        )
+        if any_improved or (have_writers and plot):
+            valid_ev.want_results()
+            if have_writers and plot:
+                train_ev.want_results()
+                if want_theta_plot:
+                    # the weighted-theta figure reads the full log_w + theta
+                    train_ev.want_summaries()
+                    for f in range(F):
+                        if alive[f]:
+                            train_ev.fetch_theta(f)
         # the batched dispatch+transfer served every fold at once; charge
         # each live fold the amortised share, then its own merge/plot time
         n_live = max(1, sum(alive))
         dispatch_share = (time.time() - test_start) / n_live
+        worker = getattr(self, "_host_worker", None)
         for f in range(F):
             if not alive[f]:
                 continue
             fold_start = time.time()
             log_data = log_datas[f]
             log_data.n_test += 1
-            train_merged, valid_merged = train_folds[f], valid_folds[f]
+            train_merged, valid_merged = train_ev.merged[f], valid_ev.merged[f]
             update_summaries(train_writers[f], epoch, train_merged, self.program, self.settings)
             improved = valid_merged.elbo > log_data.max_val_elbo
-            fetch_theta = valid_merged.pop("_theta_fetch", None)
-            if fetch_theta is not None and improved:
-                valid_merged["theta"] = fetch_theta()
+            if improved:
+                valid_ev.fetch_theta(f)
             update_summaries(valid_writers[f], epoch, valid_merged, self.program, self.settings)
-            valid_output = make_results(self.model, self.program, valid_merged)
+            valid_output = None
+            if improved or (valid_writers[f] is not None and plot):
+                valid_output = make_results(self.model, self.program, valid_merged)
             if valid_writers[f] is not None and plot:
                 proxy = self._fold_proxy(f)
                 train_output = make_results(self.model, self.program, train_merged)
-                plotting_hooks.eval_plots(
-                    proxy, train_writers[f], epoch, self.train_hosts[f], train_output,
-                    dynamic=self.model.ode_model.precisions.dynamic,
-                )
-                plotting_hooks.eval_plots(
-                    proxy, valid_writers[f], epoch, self.valid_hosts[f], valid_output,
-                    dynamic=self.model.ode_model.precisions.dynamic,
-                )
-                if want_theta_plot:
-                    plotting_hooks.weighted_theta_plot(
-                        proxy, valid_writers[f], epoch, train_merged
+                dyn = self.model.ode_model.precisions.dynamic
+
+                def figures(f=f, proxy=proxy, train_output=train_output,
+                            valid_output=valid_output, train_merged=train_merged):
+                    plotting_hooks.eval_plots(
+                        proxy, train_writers[f], epoch, self.train_hosts[f], train_output,
+                        dynamic=dyn,
                     )
+                    plotting_hooks.eval_plots(
+                        proxy, valid_writers[f], epoch, self.valid_hosts[f], valid_output,
+                        dynamic=dyn,
+                    )
+                    if want_theta_plot:
+                        plotting_hooks.weighted_theta_plot(
+                            proxy, valid_writers[f], epoch, train_merged
+                        )
+
+                # figure rendering rides the background worker (round 5) —
+                # values are main-thread; only rasterization is deferred
+                worker.submit(figures) if worker is not None else figures()
             if improved:
                 log_data.max_val_elbo = valid_merged.elbo
                 valid_output.dump(self.cache_dirs[f])
                 empty_cache[f] = False
-            valid_outputs[f] = valid_output
+            if valid_output is not None:
+                valid_outputs[f] = valid_output
             log_data.training_elbo_list.append(train_merged.elbo)
             log_data.validation_elbo_list.append(valid_merged.elbo)
             log_data.total_test_time += dispatch_share + (time.time() - fold_start)
