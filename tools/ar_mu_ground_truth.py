@@ -130,10 +130,17 @@ def run(seed, out_dir, n_steps=3000):
             n_leapfrog=int(os.environ.get("VIHDS_ARMU_LEAPFROG", "5")),
             init_inflate=float(os.environ.get("VIHDS_ARMU_INFLATE", "1.0")),
             mass_from_q=bool(int(os.environ.get("VIHDS_ARMU_MASSQ", "0"))),
+            adapt_mass=bool(int(os.environ.get("VIHDS_ARMU_ADAPTMASS", "0"))),
             return_trace=True,
         )
         nw = int(res.n_warmup)
-        ztr_all = np.asarray(res.z_trace)          # [S_tot, B, K, n]
+        # fetch the trace in ~200-step slabs: one multi-GB transfer can
+        # crash the axon tunnel worker (observed at 1 GB, round 5); slab
+        # latency overhead is ~100 ms each — noise at this size
+        zt = res.z_trace
+        ztr_all = np.concatenate(
+            [np.asarray(zt[i: i + 200]) for i in range(0, zt.shape[0], 200)], axis=0
+        )                                          # [S_tot, B, K, n]
         ztr = ztr_all[nw:]                         # [S, B, K, n]
         out = {
             "seed": seed,
@@ -296,10 +303,11 @@ def report(out_dir):
     import numpy as np
 
     lines = [
-        "# aR.mu ground truth: q vs the per-series-posterior KL-barycenter, per trained seed",
+        "# %s ground truth: q vs the per-series-posterior KL-barycenter, per trained seed"
+        % "/".join(SITES),
         "",
-        "Regime: ctrl_unit battery (dr_constant_one, 1000 ep, K=200, unit "
-        "init); values in z-space (z = log theta).  Yardstick: amortised "
+        ("Regime: %s, 1000 ep, K=200, unit " % SPEC) +
+        "init; values in z-space (z = log theta).  Yardstick: amortised "
         "VI with per-series ELBO terms targets, for a shared site, the "
         "KL-barycenter of the per-series posteriors (mean = "
         "precision-weighted average of per-series posterior means, sd = "

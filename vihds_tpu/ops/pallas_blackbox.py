@@ -230,16 +230,18 @@ def supported(ode_model):
 
 
 def blackbox_simulate(params, constants, y0, times, n_states, method="midpoint",
-                      block_rows=256, interpret=False):
+                      block_rows=None, interpret=False):
     """Fused black-box integration.  ``params``: the DR_Blackbox param dict
     (keys 'states' and 'precisions', each with 'hidden'/'prod'/'degr'
     linear leaves); ``constants``: [B, K, NC] per-sample constant features;
     ``y0``: [B, K, S_tot]; returns [T, B, K, S_tot].
     """
+    from vihds_tpu.ops.pallas_ode import _block_default
+
     B, Kn, S = y0.shape
     NC = constants.shape[-1]
     R = B * Kn
-    block = min(block_rows, R)
+    block = min(_block_default(256) if block_rows is None else block_rows, R)
     pad = (-R) % block
     Rp = R + pad
 

@@ -22,7 +22,8 @@ models/degrader_constant.py):
   "degrader_prec" 15      degrader_constant_precisions
 
 The *_prec variants carry the n_hidden=0 NeuralPrecisions block in-kernel
-(4 learned-precision ODE states; weights ride the packed constants).  The
+(4 learned-precision ODE states; the two nets' weights ride ONE small
+[2*4, 1+n_in] matrix operand fed to the MXU each step).  The
 black-box family (shared-weight hidden-layer matmuls, reference
 models/dr_blackbox.py) is a different workload shape (MXU, not per-row
 VPU) and has its own fused kernel: vihds_tpu/ops/pallas_blackbox.py.
@@ -33,12 +34,19 @@ packed as one [NC, R] array so the kernel reads a single [NC, block] VMEM
 tile.  All math is elementwise on [block]-shaped vectors (VPU).
 """
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_default(v):
+    """Family default block_rows, overridable via VIHDS_PALLAS_BLOCK (the
+    tuning knob tools/pallas_tune.py sweeps; read at trace time)."""
+    return int(os.environ.get("VIHDS_PALLAS_BLOCK", v))
 
 # Packed constant order for the dr_constant RHS (versions 1 and 2: the
 # version difference lives entirely in fracLuxR/fracLasR, computed host-side)
@@ -142,23 +150,6 @@ DEGRADER_CONST_NAMES = (
 DEGRADER_SPECIES = 11
 
 
-def _prec_weight_names(n_in=N_PREC_IN):
-    """Flattened NeuralPrecisions(n_hidden=0) weights as pseudo-constant
-    names for a net with ``n_in`` inputs ([t, species...]).  Each
-    weight/bias rides the packed-constants array as one more
-    [block]-broadcast row, so the backward kernel's per-constant cotangent
-    accumulation yields weight gradients with no extra machinery (the
-    host-side broadcast_to VJP then sums them over the sample rows)."""
-    names = []
-    for net in ("prod", "degr"):
-        for j in range(N_PREC):
-            names.append("b_%s_%d" % (net, j))
-            for i in range(n_in):
-                names.append("w_%s_%d_%d" % (net, j, i))
-    return tuple(names)
-
-
-DR_PREC_CONST_NAMES = DR_CONST_NAMES + _prec_weight_names()
 
 
 def _dr_rhs_cols(c, t, y):
@@ -266,8 +257,13 @@ def _with_precisions(base_rhs, n_sp):
     dprec_j/dt = sigmoid(Wp_j . tanh([t, s]) + bp_j)
               - sigmoid(Wd_j . tanh([t, s]) + bd_j) * prec_j
     (vihds_tpu/models/base.py:90-108; reference vihds/precisions.py:76-87).
-    The tiny [n_sp+1 -> 4] affine maps are unrolled into vector FMAs on the
-    weight rows (MXU would waste a full tile on the matmul).
+    The weights arrive as ONE [2*N_PREC, 1+n_in] matrix operand (bias in
+    column 0), so both nets' eight affine maps are a single small MXU
+    ``dot_general`` against the [1+n_in, block] tanh-feature columns —
+    round 4 unrolled them into ~2*4*n_in serial vector FMAs per step (and
+    ~as many per-constant cotangent accumulations per backward step), which
+    measured SLOWER than the XLA scan on the relay/degrader variants; the
+    matmul rides the otherwise-idle MXU.  ``c`` is ``(cdict, wmat)``.
 
     Numerical note (measured on v5e, dr family): the mechanistic species
     are BIT-EXACT vs the XLA scan path; the 4 precision states agree to
@@ -275,22 +271,23 @@ def _with_precisions(base_rhs, n_sp):
     tanh/sigmoid differ from XLA's by float32 ULPs, and prec states span
     ~1e6 with stiff xd*prec dynamics that amplify them over the time loop.
     Both paths are equally valid float32 integrations of the same ODE."""
-    n_in = n_sp + 1
 
     def rhs(c, t, y):
-        dX = base_rhs(c, t, y)
-        h = [jnp.tanh(t)] + [jnp.tanh(y[i, :]) for i in range(n_sp)]
-        gate = {}
-        for net in ("prod", "degr"):
-            for j in range(N_PREC):
-                acc = c["b_%s_%d" % (net, j)]
-                for i in range(n_in):
-                    acc = acc + c["w_%s_%d_%d" % (net, j, i)] * h[i]
-                gate[(net, j)] = jax.nn.sigmoid(acc)
-        dV = jnp.stack(
-            [gate[("prod", j)] - gate[("degr", j)] * y[n_sp + j, :] for j in range(N_PREC)],
+        cdict, wmat = c
+        dX = base_rhs(cdict, t, y)
+        blk = y.shape[1]
+        tv = jnp.full((1, blk), t, y.dtype)
+        feats = jnp.concatenate(
+            [jnp.ones((1, blk), y.dtype), jnp.tanh(jnp.concatenate([tv, y[:n_sp]], axis=0))],
             axis=0,
-        )
+        )  # [1+n_in, block]: bias row + tanh([t, species...])
+        gates = jax.nn.sigmoid(
+            jax.lax.dot_general(
+                wmat, feats, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [2*N_PREC, block]
+        dV = gates[:N_PREC] - gates[N_PREC:] * y[n_sp: n_sp + N_PREC]
         return jnp.concatenate([dX, dV], axis=0)
 
     return rhs
@@ -298,23 +295,25 @@ def _with_precisions(base_rhs, n_sp):
 
 _dr_prec_rhs_cols = _with_precisions(_dr_rhs_cols, N_SPECIES)
 
-# kind -> (packed-constant order, state rows, column RHS)
+# kind -> (packed-constant order, state rows, column RHS); *_prec kinds
+# additionally take the precision-net weight matrix operand (PREC_KINDS)
 KINDS = {
     "dr": (DR_CONST_NAMES, N_SPECIES, _dr_rhs_cols),
-    "dr_prec": (DR_PREC_CONST_NAMES, N_SPECIES + N_PREC, _dr_prec_rhs_cols),
+    "dr_prec": (DR_CONST_NAMES, N_SPECIES + N_PREC, _dr_prec_rhs_cols),
     "relay": (RELAY_CONST_NAMES, RELAY_SPECIES, _relay_rhs_cols),
     "relay_prec": (
-        RELAY_CONST_NAMES + _prec_weight_names(RELAY_SPECIES + 1),
+        RELAY_CONST_NAMES,
         RELAY_SPECIES + N_PREC,
         _with_precisions(_relay_rhs_cols, RELAY_SPECIES),
     ),
     "degrader": (DEGRADER_CONST_NAMES, DEGRADER_SPECIES, _degrader_rhs_cols),
     "degrader_prec": (
-        DEGRADER_CONST_NAMES + _prec_weight_names(DEGRADER_SPECIES + 1),
+        DEGRADER_CONST_NAMES,
         DEGRADER_SPECIES + N_PREC,
         _with_precisions(_degrader_rhs_cols, DEGRADER_SPECIES),
     ),
 }
+PREC_KINDS = frozenset(k for k in KINDS if k.endswith("_prec"))
 
 
 def _one_step(c, t1, t2, y, method, rhs):
@@ -340,9 +339,15 @@ def _one_step(c, t1, t2, y, method, rhs):
 
 def _make_kernel(n_times, method, kind):
     names, _, rhs = KINDS[kind]
+    has_w = kind in PREC_KINDS
 
-    def kernel(consts_ref, y0_ref, times_ref, out_ref):
-        c = {name: consts_ref[i, :] for i, name in enumerate(names)}
+    def kernel(*refs):
+        if has_w:
+            wmat_ref, consts_ref, y0_ref, times_ref, out_ref = refs
+        else:
+            consts_ref, y0_ref, times_ref, out_ref = refs
+        cdict = {name: consts_ref[i, :] for i, name in enumerate(names)}
+        c = (cdict, wmat_ref[:]) if has_w else cdict
         y = y0_ref[:]
         out_ref[0] = y
 
@@ -360,11 +365,21 @@ def _make_bwd_kernel(n_times, method, kind):
     """Reverse sweep: walk the stored trajectory backwards, re-tracing each
     step's VJP in-kernel (trajectory + cotangents stay VMEM-resident; HBM
     never sees solver residuals — the Pallas analogue of the lax.scan path's
-    jax.checkpoint remat)."""
+    jax.checkpoint remat).  For *_prec kinds the weight-matrix cotangent
+    accumulates per grid cell into a [n_cells, ...]-blocked output that the
+    host sums (same scheme as pallas_blackbox)."""
     names, _, rhs = KINDS[kind]
     n_const = len(names)
+    has_w = kind in PREC_KINDS
 
-    def kernel(consts_ref, times_ref, traj_ref, g_ref, dc_ref, dy0_ref):
+    def kernel(*refs):
+        if has_w:
+            (wmat_ref, consts_ref, times_ref, traj_ref, g_ref,
+             dw_ref, dc_ref, dy0_ref) = refs
+            wmat = wmat_ref[:]
+            dw_ref[0] = jnp.zeros_like(dw_ref[0])
+        else:
+            consts_ref, times_ref, traj_ref, g_ref, dc_ref, dy0_ref = refs
         cvals = tuple(consts_ref[i, :] for i in range(n_const))
         for j in range(n_const):
             dc_ref[j, :] = jnp.zeros_like(dc_ref[j, :])
@@ -375,12 +390,21 @@ def _make_bwd_kernel(n_times, method, kind):
             t1 = times_ref[i, 0]
             t2 = times_ref[i + 1, 0]
 
-            def step_fn(y, cv):
-                c = {name: cv[j] for j, name in enumerate(names)}
-                return _one_step(c, t1, t2, y, method, rhs)
+            if has_w:
+                def step_fn(y, cv, wm):
+                    cdict = {name: cv[j] for j, name in enumerate(names)}
+                    return _one_step((cdict, wm), t1, t2, y, method, rhs)
 
-            _, vjp_fn = jax.vjp(step_fn, y_i, cvals)
-            a_y, a_c = vjp_fn(a)
+                _, vjp_fn = jax.vjp(step_fn, y_i, cvals, wmat)
+                a_y, a_c, a_w = vjp_fn(a)
+                dw_ref[0] += a_w
+            else:
+                def step_fn(y, cv):
+                    cdict = {name: cv[j] for j, name in enumerate(names)}
+                    return _one_step(cdict, t1, t2, y, method, rhs)
+
+                _, vjp_fn = jax.vjp(step_fn, y_i, cvals)
+                a_y, a_c = vjp_fn(a)
             for j in range(n_const):
                 dc_ref[j, :] += a_c[j]
             return a_y + g_ref[i]
@@ -445,7 +469,67 @@ def _integrate_padded_bwd(kind, method, block, interpret, res, g):
 _integrate_padded.defvjp(_integrate_padded_fwd, _integrate_padded_bwd)
 
 
-def _simulate(kind, constants, y0, times, method, block_rows, interpret):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _integrate_padded_w(wmat, packed, y0_flat, times2d, kind, method, block, interpret):
+    """Fused forward for *_prec kinds: the precision-net weight matrix
+    ``wmat`` [2*N_PREC, 1+n_in] rides as a whole-array VMEM operand."""
+    NC, Rp = packed.shape
+    S = y0_flat.shape[0]
+    T = times2d.shape[0]
+    return pl.pallas_call(
+        _make_kernel(T, method, kind),
+        grid=(Rp // block,),
+        in_specs=[
+            pl.BlockSpec(wmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, S, Rp), y0_flat.dtype),
+        interpret=interpret,
+    )(wmat, packed, y0_flat, times2d)
+
+
+def _integrate_padded_w_fwd(wmat, packed, y0_flat, times2d, kind, method, block, interpret):
+    out = _integrate_padded_w(wmat, packed, y0_flat, times2d, kind, method, block, interpret)
+    return out, (wmat, packed, times2d, out)
+
+
+def _integrate_padded_w_bwd(kind, method, block, interpret, res, g):
+    wmat, packed, times2d, traj = res
+    NC, Rp = packed.shape
+    T, S = traj.shape[0], traj.shape[1]
+    n_cells = Rp // block
+    dw, dc, dy0 = pl.pallas_call(
+        _make_bwd_kernel(T, method, kind),
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec(wmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, S, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1,) + wmat.shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cells,) + wmat.shape, wmat.dtype),
+            jax.ShapeDtypeStruct((NC, Rp), packed.dtype),
+            jax.ShapeDtypeStruct((S, Rp), packed.dtype),
+        ],
+        interpret=interpret,
+    )(wmat, packed, times2d, traj, g)
+    return dw.sum(axis=0), dc, dy0, jnp.zeros_like(times2d)
+
+
+_integrate_padded_w.defvjp(_integrate_padded_w_fwd, _integrate_padded_w_bwd)
+
+
+def _simulate(kind, constants, y0, times, method, block_rows, interpret, wmat=None):
     names, S_expected, _ = KINDS[kind]
     B, Kn, S = y0.shape
     assert S == S_expected, (S, S_expected)
@@ -458,17 +542,25 @@ def _simulate(kind, constants, y0, times, method, block_rows, interpret):
         [jnp.broadcast_to(constants[name], (B, Kn)).reshape(R) for name in names]
     )
     if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+        # ones, not zeros: zero constants make the padded lanes' RHS
+        # non-finite (x/K), and the *_prec weight cotangent REDUCES over
+        # lanes, so a padded-lane NaN would poison the whole weight grad
+        # (0 * nan = nan); with finite math the padded lanes' zero
+        # cotangents contribute exactly zero.
+        packed = jnp.pad(packed, ((0, 0), (0, pad)), constant_values=1.0)
     y0_flat = y0.reshape(R, S).T  # [S, R] — species on sublanes, rows on lanes
     if pad:
         y0_flat = jnp.pad(y0_flat, ((0, 0), (0, pad)), constant_values=1e-3)
     times2d = times.reshape(times.shape[0], 1)
 
-    out = _integrate_padded(packed, y0_flat, times2d, kind, method, block, interpret)
+    if wmat is not None:
+        out = _integrate_padded_w(wmat, packed, y0_flat, times2d, kind, method, block, interpret)
+    else:
+        out = _integrate_padded(packed, y0_flat, times2d, kind, method, block, interpret)
     return jnp.moveaxis(out[:, :, :R], 1, 2).reshape(times.shape[0], B, Kn, S)
 
 
-def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512, interpret=False):
+def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=None, interpret=False):
     """Fused integration.  ``constants``: dict name -> [B, K]-broadcastable;
     ``y0``: [B, K, 8]; returns [T, B, K, 8] (same layout as ops.solvers).
 
@@ -477,28 +569,30 @@ def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=512
     theta) and to ``y0``.  The pack/pad/unpack around the kernel is plain
     XLA, so its VJP is automatic.
     """
+    block_rows = _block_default(512) if block_rows is None else block_rows
     return _simulate("dr", constants, y0, times, method, block_rows, interpret)
 
 
-def _pack_prec(constants, prec_params, n_in):
-    """Join the NeuralPrecisions(n_hidden=0) weights to the constants dict
-    as scalar pseudo-constants.  The weights become broadcast rows of the
-    packed array, so the backward kernel's constant-cotangent accumulation
-    produces weight gradients and the host-side broadcast VJP reduces them
-    over the sample rows.  ``prec_params``: {'prod': {'w': [n_in, 4],
-    'b': [4]}, 'degr': {...}}."""
-    c = dict(constants)
-    for net in ("prod", "degr"):
-        w, b = prec_params[net]["w"], prec_params[net]["b"]
-        for j in range(N_PREC):
-            c["b_%s_%d" % (net, j)] = b[j]
-            for i in range(n_in):
-                c["w_%s_%d_%d" % (net, j, i)] = w[i, j]
-    return c
+def _prec_wmat(prec_params):
+    """Stack the NeuralPrecisions(n_hidden=0) weights into the kernel's
+    single [2*N_PREC, 1+n_in] matrix operand (rows 0..3 prod, 4..7 degr;
+    column 0 is the bias, columns 1.. the [t, species...] input weights).
+    ``prec_params``: {'prod': {'w': [n_in, 4], 'b': [4]}, 'degr': {...}}.
+    Plain XLA ops, so the weight cotangent from the kernel flows back to
+    the param leaves automatically."""
+    return jnp.concatenate(
+        [
+            jnp.concatenate(
+                [prec_params[net]["b"][:, None], prec_params[net]["w"].T], axis=1
+            )
+            for net in ("prod", "degr")
+        ],
+        axis=0,
+    )
 
 
 def dr_constant_precisions_simulate(
-    constants, prec_params, y0, times, method="midpoint", block_rows=128, interpret=False
+    constants, prec_params, y0, times, method="midpoint", block_rows=None, interpret=False
 ):
     """Fused integration of the dr_constant_precisions family (8 mechanistic
     + 4 learned-precision states; NeuralPrecisions with n_hidden=0, tanh
@@ -508,38 +602,43 @@ def dr_constant_precisions_simulate(
     Smaller default block than the plain kernel: 12 state rows x T
     trajectory + cotangents must stay VMEM-resident in the backward sweep.
     """
-    c = _pack_prec(constants, prec_params, N_PREC_IN)
-    return _simulate("dr_prec", c, y0, times, method, block_rows, interpret)
+    block_rows = _block_default(128) if block_rows is None else block_rows
+    return _simulate("dr_prec", constants, y0, times, method, block_rows,
+                     interpret, wmat=_prec_wmat(prec_params))
 
 
-def relay_constant_simulate(constants, y0, times, method="midpoint", block_rows=512, interpret=False):
+def relay_constant_simulate(constants, y0, times, method="midpoint", block_rows=None, interpret=False):
     """Fused integration of the 12-state relay_constant family; same layout
     contract as ``dr_constant_simulate``."""
+    block_rows = _block_default(512) if block_rows is None else block_rows
     return _simulate("relay", constants, y0, times, method, block_rows, interpret)
 
 
 def relay_constant_precisions_simulate(
-    constants, prec_params, y0, times, method="midpoint", block_rows=128, interpret=False
+    constants, prec_params, y0, times, method="midpoint", block_rows=None, interpret=False
 ):
     """Fused relay_constant_precisions (12 mechanistic + 4 learned-precision
     states); ``y0``: [B, K, 16]; returns [T, B, K, 16]."""
-    c = _pack_prec(constants, prec_params, RELAY_SPECIES + 1)
-    return _simulate("relay_prec", c, y0, times, method, block_rows, interpret)
+    block_rows = _block_default(128) if block_rows is None else block_rows
+    return _simulate("relay_prec", constants, y0, times, method, block_rows,
+                     interpret, wmat=_prec_wmat(prec_params))
 
 
-def degrader_constant_simulate(constants, y0, times, method="midpoint", block_rows=512, interpret=False):
+def degrader_constant_simulate(constants, y0, times, method="midpoint", block_rows=None, interpret=False):
     """Fused integration of the 11-state degrader_constant family; same
     layout contract as ``dr_constant_simulate``."""
+    block_rows = _block_default(512) if block_rows is None else block_rows
     return _simulate("degrader", constants, y0, times, method, block_rows, interpret)
 
 
 def degrader_constant_precisions_simulate(
-    constants, prec_params, y0, times, method="midpoint", block_rows=128, interpret=False
+    constants, prec_params, y0, times, method="midpoint", block_rows=None, interpret=False
 ):
     """Fused degrader_constant_precisions (11 mechanistic + 4
     learned-precision states); ``y0``: [B, K, 15]; returns [T, B, K, 15]."""
-    c = _pack_prec(constants, prec_params, DEGRADER_SPECIES + 1)
-    return _simulate("degrader_prec", c, y0, times, method, block_rows, interpret)
+    block_rows = _block_default(128) if block_rows is None else block_rows
+    return _simulate("degrader_prec", constants, y0, times, method, block_rows,
+                     interpret, wmat=_prec_wmat(prec_params))
 
 
 def simulate_kind(kind, constants, y0, times, method="midpoint", prec_params=None, interpret=False):

@@ -307,6 +307,7 @@ def hmc_refine(
     return_trace=False,
     init_inflate=1.0,
     mass_from_q=False,
+    adapt_mass=False,
 ):
     """HMC over z, one chain per (datapoint, sample) pair, initialised at q.
 
@@ -346,8 +347,6 @@ def hmc_refine(
         )[:, None, :]                                    # [L, 1, n]
     else:
         mass_prec = prior_prec
-    inv_mass = jnp.where(mask > 0, 1.0 / mass_prec, 0.0)
-    base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(mass_prec), 0.0)
     if init_inflate != 1.0:
         # overdispersed multi-start (z-space inflation about q's mean):
         # init-robustness control for multi-basin posteriors — chains that
@@ -364,51 +363,95 @@ def hmc_refine(
     z_init = z
     n_warmup = n_steps // 2
 
-    def leapfrog(z, p, step):
-        g = grad_log_joint(z) * mask
-        p = p + 0.5 * step * g
-        for _ in range(n_leapfrog - 1):
-            z = z + step * inv_mass * p
-            g = grad_log_joint(z) * mask
-            p = p + step * g
-        z = z + step * inv_mass * p
-        p = p + 0.5 * step * (grad_log_joint(z) * mask)
-        return z, p
+    def run_phase(z, log_eps, n_accept, m_prec, keys, t0, trace):
+        """``n`` scan steps under a fixed mass ``m_prec`` (Robbins-Monro
+        step adaptation keeps running for absolute steps < n_warmup)."""
+        inv_mass = jnp.where(mask > 0, 1.0 / m_prec, 0.0)
+        base_step = jnp.where(mask > 0, 1.0 / jnp.sqrt(m_prec), 0.0)
 
-    def one_step(carry, inp):
-        z, log_eps, n_accept = carry
-        key_t, t = inp
-        k_mom, k_acc = jax.random.split(key_t)
-        step = jnp.exp(log_eps)[:, :, None] * base_step  # per-chain step
-        p = jax.random.normal(k_mom, z.shape) * jnp.sqrt(mass_prec) * mask
-        lj0 = log_joint(z)
-        ke0 = 0.5 * (p ** 2 * inv_mass).sum(-1)
-        z_new, p_new = leapfrog(z, p, step)
-        lj1 = log_joint(z_new)
-        ke1 = 0.5 * (p_new ** 2 * inv_mass).sum(-1)
-        log_alpha = jnp.nan_to_num((lj1 - ke1) - (lj0 - ke0), nan=-jnp.inf)
-        alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
-        accept = jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha
-        z = jnp.where(accept[:, :, None], z_new, z)
-        # Robbins-Monro adaptation during warmup
-        adapt = (t < n_warmup).astype(jnp.float32)
-        log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
-        counted = (t >= n_warmup).astype(jnp.float32)
-        # median across chains: robust to the occasional diverged chain
-        out = (jnp.median(lj0), z) if return_trace else jnp.median(lj0)
-        return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), out
+        def leapfrog(z, p, step):
+            g = grad_log_joint(z) * mask
+            p = p + 0.5 * step * g
+            for _ in range(n_leapfrog - 1):
+                z = z + step * inv_mass * p
+                g = grad_log_joint(z) * mask
+                p = p + step * g
+            z = z + step * inv_mass * p
+            p = p + 0.5 * step * (grad_log_joint(z) * mask)
+            return z, p
+
+        def one_step(carry, inp):
+            z, log_eps, n_accept = carry
+            key_t, t = inp
+            k_mom, k_acc = jax.random.split(key_t)
+            step = jnp.exp(log_eps)[:, :, None] * base_step  # per-chain step
+            p = jax.random.normal(k_mom, z.shape) * jnp.sqrt(m_prec) * mask
+            lj0 = log_joint(z)
+            ke0 = 0.5 * (p ** 2 * inv_mass).sum(-1)
+            z_new, p_new = leapfrog(z, p, step)
+            lj1 = log_joint(z_new)
+            ke1 = 0.5 * (p_new ** 2 * inv_mass).sum(-1)
+            log_alpha = jnp.nan_to_num((lj1 - ke1) - (lj0 - ke0), nan=-jnp.inf)
+            alpha = jnp.minimum(jnp.exp(log_alpha), 1.0)
+            accept = jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha
+            z = jnp.where(accept[:, :, None], z_new, z)
+            # Robbins-Monro adaptation during warmup
+            adapt = (t < n_warmup).astype(jnp.float32)
+            log_eps = log_eps + adapt * 0.3 * (alpha - target_accept)
+            counted = (t >= n_warmup).astype(jnp.float32)
+            # median across chains: robust to the occasional diverged chain
+            out = (jnp.median(lj0), z) if trace else jnp.median(lj0)
+            return (z, log_eps, n_accept + counted * accept.astype(jnp.float32)), out
+
+        n = keys.shape[0]
+        return jax.lax.scan(
+            one_step, (z, log_eps, n_accept), (keys, t0 + jnp.arange(n))
+        )
 
     keys = jax.random.split(key, n_steps)
     # Per-chain initial step scaled by the local gradient magnitude: a unit
     # leapfrog displacement should perturb the energy by O(1) even from the
     # crude amortised initialisation, where |grad log p| can be astronomical.
+    base_step0 = jnp.where(mask > 0, 1.0 / jnp.sqrt(mass_prec), 0.0)
     g0 = grad_log_joint(z) * mask
-    g_scale = jnp.sqrt(jnp.sum((g0 * base_step) ** 2, axis=-1))  # [B, K]
+    g_scale = jnp.sqrt(jnp.sum((g0 * base_step0) ** 2, axis=-1))  # [B, K]
     log_eps0 = jnp.log(step_scale) - jnp.log1p(g_scale)
-    (z, log_eps, n_accept), scanned = jax.lax.scan(
-        one_step, (z, log_eps0, jnp.zeros(z.shape[:2])), (keys, jnp.arange(n_steps))
-    )
-    lj_trace, z_trace = scanned if return_trace else (scanned, None)
+    n_accept0 = jnp.zeros(z.shape[:2])
+    if adapt_mass:
+        # Windowed mass adaptation (Stan-style): run the first half of
+        # warmup under the seed mass, re-estimate the per-(series,
+        # coordinate) posterior variance from the cross-chain ensemble over
+        # that window, and run the remainder under the estimated mass.  16
+        # independent chains per series make the ensemble variance a direct
+        # posterior-spread estimate once the chains have spread — exactly
+        # the quantity the kinetic mass should match; the seed mass (prior
+        # or q precision) can be orders off on coordinates where q is
+        # mis-calibrated, which is what kept the per-series convergence
+        # gate red at any leapfrog depth (round 5).
+        n1 = max(n_warmup // 2, 1)
+        (z, log_eps, n_accept), sc1 = run_phase(
+            z, log_eps0, n_accept0, mass_prec, keys[:n1], 0, True
+        )
+        lj1_trace, z1_trace = sc1
+        w = max(min(n1 // 2, 200), 1)
+        zw = z1_trace[-w:]  # [w, B, K, n]
+        var = jnp.maximum(zw.var(axis=(0, 2)), 1e-10)  # [B, n]
+        mass2 = jnp.where(mask > 0, 1.0 / var, 1.0)[:, None, :]  # [B, 1, n]
+        (z, log_eps, n_accept), sc2 = run_phase(
+            z, log_eps, n_accept, mass2, keys[n1:], n1, return_trace
+        )
+        mass_prec = mass2
+        if return_trace:
+            lj2_trace, z2_trace = sc2
+            lj_trace = jnp.concatenate([lj1_trace, lj2_trace], axis=0)
+            z_trace = jnp.concatenate([z1_trace, z2_trace], axis=0)
+        else:
+            lj_trace, z_trace = jnp.concatenate([lj1_trace, sc2], axis=0), None
+    else:
+        (z, log_eps, n_accept), scanned = run_phase(
+            z, log_eps0, n_accept0, mass_prec, keys, 0, return_trace
+        )
+        lj_trace, z_trace = scanned if return_trace else (scanned, None)
     out = AttrDict(
         theta=constrain_z(program, z),
         z=z,
