@@ -58,6 +58,12 @@ def parse():
         "data scale, so rejection alone cannot reach the data regime); 0 disables",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--grad_clip_norm", type=float, default=10.0,
+        help="Global-norm gradient clip for the training phase (default 10, "
+        "the shipped inference-graph convention — NeuralPrecisions at the "
+        "spec lr=0.01 blows up without it on off-regime data; 0 disables)",
+    )
     p.add_argument("--folds", type=int, default=4, help="train on (folds-1)/folds of the data")
     p.add_argument(
         "--refine_chains",
@@ -224,6 +230,8 @@ def main():
     targs.test_samples = args.test_samples
     targs.folds = args.folds
     targs.split = 1
+    if args.grad_clip_norm:
+        targs.grad_clip_norm = args.grad_clip_norm
     settings = Config(targs)
     settings.trainer = None
     data = build_datasets(targs, settings)
@@ -232,6 +240,12 @@ def main():
     training = Training(targs, settings, data, program, model)
     results = training.run()
     assert results is not None, "training produced no results (NaN abort?)"
+    if not np.isfinite(np.asarray(training.final_params["enc"]["lin"]["w"])).all():
+        raise SystemExit(
+            "recovery_study: trained encoder parameters are non-finite "
+            "(training NaN'd) — no report written; retry with a stronger "
+            "--grad_clip_norm or a lower learning rate"
+        )
 
     print("=== 3/3 evaluate on ALL series; compare to truth ===")
     import jax
@@ -246,6 +260,10 @@ def main():
     # decoder integrates the +-4sigma-clipped draw (r2 advisor; identical to
     # "theta" whenever no coordinate saturated the clip).
     truth_theta = truth["theta_clipped"] if "theta_clipped" in truth else truth["theta"]
+    if not np.isfinite(np.asarray(merged["q_mu"])).all():
+        raise SystemExit(
+            "recovery_study: recovered q is non-finite — no report written"
+        )
     rows = site_comparisons(program, merged["q_mu"], merged["q_prec"], truth_theta)
 
     obs = full_host.observations
