@@ -177,6 +177,9 @@ def _integrate_padded_bwd(n_states, method, block, interpret, res, g):
     wv, packed, times2d, traj = res
     NC, Rp = packed.shape
     T, S = traj.shape[0], traj.shape[1]
+    # backward runs at a smaller block than the tuned forward default (the
+    # VJP retrace doubles the VMEM working set; see pallas_ode)
+    block = min(block, 256) if Rp % 256 == 0 else block
     n_cells = Rp // block
     w_specs = [
         pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
@@ -241,7 +244,7 @@ def blackbox_simulate(params, constants, y0, times, n_states, method="midpoint",
     B, Kn, S = y0.shape
     NC = constants.shape[-1]
     R = B * Kn
-    block = min(_block_default(256) if block_rows is None else block_rows, R)
+    block = min(_block_default(1024) if block_rows is None else block_rows, R)
     pad = (-R) % block
     Rp = R + pad
 

@@ -444,6 +444,7 @@ def _integrate_padded_bwd(kind, method, block, interpret, res, g):
     packed, times2d, traj = res
     NC, Rp = packed.shape
     T, S = traj.shape[0], traj.shape[1]
+    block = min(block, 256) if Rp % 256 == 0 else block  # see _integrate_padded_w_bwd
     dc, dy0 = pl.pallas_call(
         _make_bwd_kernel(T, method, kind),
         grid=(Rp // block,),
@@ -500,6 +501,12 @@ def _integrate_padded_w_bwd(kind, method, block, interpret, res, g):
     wmat, packed, times2d, traj = res
     NC, Rp = packed.shape
     T, S = traj.shape[0], traj.shape[1]
+    # the per-step VJP retrace roughly doubles the forward's VMEM working
+    # set (traj + cotangent tiles + re-traced solver intermediates), so the
+    # backward runs at a smaller block than the tuned forward (256 divides
+    # every shipped forward default; measured: block 1024 bwd OOMs at 22 MB
+    # scoped vmem on v5e)
+    block = min(block, 256) if Rp % 256 == 0 else block
     n_cells = Rp // block
     dw, dc, dy0 = pl.pallas_call(
         _make_bwd_kernel(T, method, kind),
@@ -569,7 +576,7 @@ def dr_constant_simulate(constants, y0, times, method="midpoint", block_rows=Non
     theta) and to ``y0``.  The pack/pad/unpack around the kernel is plain
     XLA, so its VJP is automatic.
     """
-    block_rows = _block_default(512) if block_rows is None else block_rows
+    block_rows = _block_default(2048) if block_rows is None else block_rows
     return _simulate("dr", constants, y0, times, method, block_rows, interpret)
 
 
@@ -602,7 +609,7 @@ def dr_constant_precisions_simulate(
     Smaller default block than the plain kernel: 12 state rows x T
     trajectory + cotangents must stay VMEM-resident in the backward sweep.
     """
-    block_rows = _block_default(128) if block_rows is None else block_rows
+    block_rows = _block_default(1024) if block_rows is None else block_rows
     return _simulate("dr_prec", constants, y0, times, method, block_rows,
                      interpret, wmat=_prec_wmat(prec_params))
 
@@ -610,7 +617,7 @@ def dr_constant_precisions_simulate(
 def relay_constant_simulate(constants, y0, times, method="midpoint", block_rows=None, interpret=False):
     """Fused integration of the 12-state relay_constant family; same layout
     contract as ``dr_constant_simulate``."""
-    block_rows = _block_default(512) if block_rows is None else block_rows
+    block_rows = _block_default(1024) if block_rows is None else block_rows
     return _simulate("relay", constants, y0, times, method, block_rows, interpret)
 
 
@@ -619,7 +626,7 @@ def relay_constant_precisions_simulate(
 ):
     """Fused relay_constant_precisions (12 mechanistic + 4 learned-precision
     states); ``y0``: [B, K, 16]; returns [T, B, K, 16]."""
-    block_rows = _block_default(128) if block_rows is None else block_rows
+    block_rows = _block_default(1024) if block_rows is None else block_rows
     return _simulate("relay_prec", constants, y0, times, method, block_rows,
                      interpret, wmat=_prec_wmat(prec_params))
 
@@ -627,7 +634,7 @@ def relay_constant_precisions_simulate(
 def degrader_constant_simulate(constants, y0, times, method="midpoint", block_rows=None, interpret=False):
     """Fused integration of the 11-state degrader_constant family; same
     layout contract as ``dr_constant_simulate``."""
-    block_rows = _block_default(512) if block_rows is None else block_rows
+    block_rows = _block_default(1024) if block_rows is None else block_rows
     return _simulate("degrader", constants, y0, times, method, block_rows, interpret)
 
 
@@ -636,7 +643,7 @@ def degrader_constant_precisions_simulate(
 ):
     """Fused degrader_constant_precisions (11 mechanistic + 4
     learned-precision states); ``y0``: [B, K, 15]; returns [T, B, K, 15]."""
-    block_rows = _block_default(128) if block_rows is None else block_rows
+    block_rows = _block_default(512) if block_rows is None else block_rows
     return _simulate("degrader_prec", constants, y0, times, method, block_rows,
                      interpret, wmat=_prec_wmat(prec_params))
 
