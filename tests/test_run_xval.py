@@ -368,3 +368,27 @@ def test_outlier_fold_detection_and_rerun(monkeypatch, capsys):
     monkeypatch.setattr("vihds_tpu.run_xval.run_on_split", fake_worse)
     out = xfold._handle_outlier_folds(args, settings, runner, results)
     assert out[1].elbo == 870.0 and out[1].dumped == ["c1"]
+
+
+def test_vmap_folds_profile_dir(tmp_path, monkeypatch):
+    """--profile_dir no longer forces the vmapped driver to fall back
+    (round 5): it captures one post-compile batched train dispatch, writing
+    a jax.profiler trace that covers every fold."""
+    import glob as _glob
+
+    from tests.conftest import make_args, spec
+    from vihds_tpu import xfold
+    from vihds_tpu.config import Config, Trainer
+
+    monkeypatch.setenv("INFERENCE_RESULTS_DIR", str(tmp_path))
+    prof = tmp_path / "prof"
+    a = make_args(spec("dr_constant_one.yaml"), epochs=4, folds=2)
+    a.experiment = "vprof"
+    a.profile_dir = str(prof)
+    s = Config(a)
+    assert xfold.unsupported_reason(a, s) is None
+    s.trainer = Trainer(a, add_timestamp=False)
+    out = xfold.run_all_folds(a, s)
+    assert out is not None, "vmapped driver must not fall back under --profile_dir"
+    traces = _glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+    assert traces, "no profiler trace written under --profile_dir"

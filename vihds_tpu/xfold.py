@@ -19,9 +19,11 @@ printed reason) for configurations the batched program cannot express:
 non-merged (``merge: false``) datasets, heldout splits, an explicit
 ``--mesh_data``/``--mesh_sample`` factorisation (the sequential driver
 shards each fold over the requested (data, sample) mesh), ``--mesh auto``
-when no device count divides the folds, profiling, or folds whose padded
+when no device count divides the folds, or folds whose padded
 batch or eval-chunk counts differ (a common chunk grid would change those
-folds' eval RNG streams vs the sequential driver).
+folds' eval RNG streams vs the sequential driver).  ``--profile_dir``
+works here too (round 5): it captures one post-compile batched train
+dispatch covering every fold.
 
 Checkpoint/resume IS supported (round 4): the batched fold state is one
 stacked pytree, saved at checkpoint boundaries through the same orbax
@@ -164,8 +166,6 @@ def unsupported_reason(args, settings):
         return "merge: false datasets group by file, not by fold"
     if getattr(args, "heldout", None):
         return "--heldout is a single split, not a k-fold"
-    if getattr(args, "profile_dir", None):
-        return "profiling traces one fold's dispatch stream"
     if args.folds < 2:
         return "needs folds >= 2"
     return None
@@ -498,6 +498,11 @@ class VmapXval:
 
         print("---------------------------")
         print("Training: %d folds vmapped (one batched program)" % F)
+        # --profile_dir captures ONE post-compile batched train dispatch
+        # (all folds in the trace — the single-split driver's "one
+        # post-compile epoch" convention lifted to the fold-stacked program)
+        profile_dir = getattr(args, "profile_dir", None)
+        traced = False
         epoch = start_epoch
         while any(alive) and epoch < args.epochs + 1:
             start = time.time()
@@ -530,11 +535,16 @@ class VmapXval:
                 for k in fold_stacks[0]
             )
             trained = list(alive)  # folds that actually trained this dispatch
-            params_v, opt_v, keys_v, elbos_v = self._train_v(
-                params_v, opt_v, keys_v, stacks_v, self._train_data_folds(),
-                times, self._priors
-            )
-            elbos_v = np.asarray(elbos_v)
+            from vihds_tpu import profiling
+
+            do_trace = bool(profile_dir) and not traced and epoch > start_epoch
+            with profiling.trace(profile_dir if do_trace else None):
+                params_v, opt_v, keys_v, elbos_v = self._train_v(
+                    params_v, opt_v, keys_v, stacks_v, self._train_data_folds(),
+                    times, self._priors
+                )
+                elbos_v = np.asarray(elbos_v)  # fetch inside: trace sees device time
+            traced = traced or do_trace
             for f in range(F):
                 if alive[f] and not np.isfinite(elbos_v[f]).all():
                     print("Fold %d: ELBO = nan, freezing this fold." % (f + 1))
